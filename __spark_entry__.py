@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` wires the engine operators of ``geotiff_processor_spark``
+(SURVEY.md §2) to the driver's DuckDB differential oracle
+(``oracle_sql()``): both sides derive the Common-Crawl-style pages table
+(BASELINE.json input_hint shape) deterministically from
+``events.event_id`` with pure integer arithmetic, so results hash-match
+exactly.  Keys with no oracle entry are non-SQL-expressible (pandas-UDF
+operators, LSH candidate generation) and get the rows-only check; their
+exactness is covered in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +15,457 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from geotiff_processor_spark.functions import text as T
+from geotiff_processor_spark.functions.encodings import (
+    mapbox_rgb,
+    sql_color_breaks,
+    sql_mapbox_rgb,
+    sql_terrarium_rgb,
+    terrarium_rgb,
+)
+from geotiff_processor_spark.functions.geo import sql_dist2_mdeg
+from geotiff_processor_spark.operators import ann, dedup, knn, pip, pyramid, tiling, zonal
+from geotiff_processor_spark.sources import synth
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _geocoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+
+
+def _raster_valid(spark: SparkSession) -> DataFrame:
+    return synth.build_raster(spark).filter(F.expr(synth.SQL_RASTER_VALID))
+
+
+def _pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pip.pip_join(_geocoded(spark, sf_dir), pip.build_cover_table(spark))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship = geocode -> cell encode -> broadcast PIP join -> counts
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Pages-per-polygon on sf0.001 (SURVEY.md §7 M0 flagship slice)."""
+    pages = synth.build_pages(spark, SF001, with_html=True)
+    geocoded = synth.geocode(pages)
+    assignments = pip.pip_join(geocoded, pip.build_cover_table(spark))
+    return (
+        assignments.groupBy("polygon_id", "zone")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy("polygon_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pip_count(spark, sf_dir):
+    return (
+        _pip(spark, sf_dir)
+        .groupBy("polygon_id", "zone")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def q_cell_encode(spark, sf_dir):
+    return _geocoded(spark, sf_dir).select("url", "cell_id")
+
+
+def q_tile_assign(spark, sf_dir):
+    return tiling.assign_tiles(_geocoded(spark, sf_dir), zoom=8).select(
+        "url", "zoom", "tile_x", "tile_y")
+
+
+def q_tile_counts(spark, sf_dir):
+    return tiling.tile_counts(_geocoded(spark, sf_dir), zoom=6)
+
+
+def q_knn(spark, sf_dir):
+    return knn.knn_exact(
+        _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
+
+
+def q_knn_cell_prefix(spark, sf_dir):  # rows-only: approximate by design
+    return knn.knn_cell_prefix(
+        _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
+
+
+def q_zonal_stats(spark, sf_dir):
+    return zonal.zonal_stats(_pip(spark, sf_dir))
+
+
+def q_pyramid_l8(spark, sf_dir):
+    lvl = pyramid.pyramid_level(_raster_valid(spark), factor=8)
+    return lvl.select("map_id", "bx", "by", "s", "c",
+                      F.round("avg_val", 6).alias("avg_val"))
+
+
+def q_mapbox_encode(spark, sf_dir):
+    r, g, b = mapbox_rgb("elev")
+    return _raster_valid(spark).select(
+        "px", "py", r.alias("enc_r"), g.alias("enc_g"), b.alias("enc_b"))
+
+
+def q_terrarium_encode(spark, sf_dir):
+    r, g, b = terrarium_rgb("elev")
+    return _raster_valid(spark).select(
+        "px", "py", r.alias("enc_r"), g.alias("enc_g"), b.alias("enc_b"))
+
+
+def q_percentile_breaks(spark, sf_dir):
+    stats = _raster_valid(spark).agg(
+        F.expr("percentile(cast(elev_m as double), 0.005)").alias("tmin"),
+        F.expr("percentile(cast(elev_m as double), 0.96)").alias("tmax"),
+    )
+    breaks = sql_color_breaks("tmin", "tmax")
+    return stats.select(*[
+        F.round(F.expr(b), 6).alias(f"break_{i + 1}")
+        for i, b in enumerate(breaks)
+    ])
+
+
+# shared text (DuckDB parses 0.2 as DECIMAL — explicit double casts keep
+# the arithmetic IEEE-identical in both engines)
+AREA_STATS_EXPRS = {
+    "n_valid": "count(*)",
+    "area_ha": ("round(count(*) * cast(0.2 as double) * cast(0.2 as double)"
+                " / cast(10000 as double), 6)"),
+    "gsd_cm": ("round((cast(0.2 as double) + cast(0.2 as double))"
+               " / 2 * 100, 2)"),
+}
+
+
+def q_area_stats(spark, sf_dir):
+    """A1/A7: valid-pixel count -> hectares at 0.2 m GSD (process.py:172-211)."""
+    raster = synth.build_raster(spark)
+    return raster.filter(F.col("alpha") > 0).agg(
+        *[F.expr(e).alias(n) for n, e in AREA_STATS_EXPRS.items()])
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over a corpus with planted duplicates (the source
+    documents are all-distinct, so every 10th doc is re-keyed + unioned)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    return dedup.exact_dup_groups(docs.unionByName(dupes))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = T.sql_quality_cols("text", dialect="spark")
+    return docs.select(
+        "doc_id", *[F.expr(sql).alias(name) for name, sql in cols.items()])
+
+
+def q_lang_stopwords(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hits = {
+        lang: F.expr(T.sql_stopword_hits("text", lang, "spark"))
+        .cast("bigint").alias(f"hits_{lang}")
+        for lang in ("en", "es", "fr")
+    }
+    return docs.select(
+        "doc_id", *hits.values(),
+        F.expr(T.sql_fingerprint("text")).alias("fingerprint"))
+
+
+def q_registro_first_wins(spark, sf_dir):
+    g = _geocoded(spark, sf_dir).withColumn(
+        "registroid",
+        F.expr("cast(floor(cast(regexp_extract(url, 'p/([0-9]+)$', 1)"
+               " as bigint) / 10) as bigint)"))
+    first = dedup.first_wins(g, "registroid", "warc_ts")
+    return first.select(
+        "registroid",
+        F.col("url").alias("first_url"),
+        F.expr("substring(sha2(cast(registroid as string), 256), 1, 12)")
+        .alias("map_id"),
+    )
+
+
+def q_union_shards(spark, sf_dir):
+    """S4: VRT-mosaic analog — unionByName over per-lang shards."""
+    g = _geocoded(spark, sf_dir)
+    shards = [g.filter(F.col("lang") == lang) for lang in ("es", "en", "pt", "fr")]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("lang").agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+def q_hourly_ingest(spark, sf_dir):
+    """Streaming-shaped (2.9): event-time tumbling window counts."""
+    g = synth.build_pages(spark, sf_dir, with_html=False)
+    return (
+        g.groupBy(F.date_trunc("hour", "warc_ts").alias("window_start"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.cosine_topk(emb, n_queries=5, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):  # rows-only: recall tested in pytest
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_bucket_ann(emb, n_queries=5, k=10)
+
+
+def q_minhash_candidates(spark, sf_dir):  # rows-only (LSH banding)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs)
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+def q_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+def q_pip_raycast(spark, sf_dir):  # rows-only: pandas-UDF ray cast path
+    polys = [
+        {"polygon_id": pid, "xs": [a, c, c, a], "ys": [b, b, d, d]}
+        for pid, zone, a, b, c, d in synth.polygon_rows()
+    ]
+    return pip.pip_join_raycast(_geocoded(spark, sf_dir), polys)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_count": q_pip_count,
+        "cell_encode": q_cell_encode,
+        "tile_assign": q_tile_assign,
+        "tile_counts": q_tile_counts,
+        "knn": q_knn,
+        "knn_cell_prefix": q_knn_cell_prefix,
+        "zonal_stats": q_zonal_stats,
+        "pyramid_l8": q_pyramid_l8,
+        "mapbox_encode": q_mapbox_encode,
+        "terrarium_encode": q_terrarium_encode,
+        "percentile_breaks": q_percentile_breaks,
+        "area_stats": q_area_stats,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "lang_stopwords": q_lang_stopwords,
+        "registro_first_wins": q_registro_first_wins,
+        "union_shards": q_union_shards,
+        "hourly_ingest": q_hourly_ingest,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "pip_raycast": q_pip_raycast,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; same formula text as the Spark side)
+# ---------------------------------------------------------------------------
+
+def _with_geo(extra: str, body: str) -> str:
+    parts = "WITH " + synth.geocoded_cte("duckdb")
+    if extra:
+        parts += ",\n" + extra
+    return parts + "\n" + body
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d2 = sql_dist2_mdeg("g.lonm", "g.latm", "q.qlonm", "q.qlatm")
+    raster = "WITH " + synth.raster_cte("duckdb").lstrip(",\n ")
+    raster_valid = raster + f", rv AS (SELECT * FROM raster WHERE {synth.SQL_RASTER_VALID})"
+    mb_r, mb_g, mb_b = sql_mapbox_rgb("elev")
+    tr_r, tr_g, tr_b = sql_terrarium_rgb("elev")
+    breaks = sql_color_breaks("tmin", "tmax")
+    qcols = T.sql_quality_cols("text", dialect="duckdb")
+
+    pip_sql = (
+        synth.polygons_cte()
+        + ",\npip AS (SELECT g.*, p.polygon_id, p.zone FROM geocoded g "
+        + f"JOIN polygons p ON {synth.SQL_PIP_PREDICATE})"
+    )
+
+    sql = {}
+    sql["pip_count"] = _with_geo(
+        pip_sql,
+        "SELECT cast(polygon_id as bigint) AS polygon_id, zone,"
+        " count(*) AS n_pages FROM pip GROUP BY polygon_id, zone",
+    )
+    sql["cell_encode"] = _with_geo("", "SELECT url, cell_id FROM geocoded")
+    from geotiff_processor_spark.functions.geo import sql_tile_x, sql_tile_y
+    sql["tile_assign"] = _with_geo(
+        "",
+        "SELECT url, cast(8 as bigint) AS zoom, "
+        f"{sql_tile_x('lonm', 8)} AS tile_x, {sql_tile_y('lat', 8)} AS tile_y "
+        "FROM geocoded",
+    )
+    sql["tile_counts"] = _with_geo(
+        "",
+        "SELECT cast(6 as bigint) AS zoom, "
+        f"{sql_tile_x('lonm', 6)} AS tile_x, {sql_tile_y('lat', 6)} AS tile_y, "
+        "count(*) AS n_pages FROM geocoded GROUP BY 1, 2, 3",
+    )
+    sql["knn"] = _with_geo(
+        synth.knn_queries_cte()
+        + f""",
+kn AS (
+  SELECT q.query_id, g.url, {d2} AS dist2,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY {d2}, g.url) AS rnk
+  FROM geocoded g CROSS JOIN knn_queries q
+)""",
+        "SELECT cast(query_id as bigint) AS query_id, url,"
+        " cast(rnk as bigint) AS rank, cast(dist2 as bigint) AS dist2"
+        " FROM kn WHERE rnk <= 5",
+    )
+    sql["zonal_stats"] = _with_geo(
+        pip_sql,
+        "SELECT cast(polygon_id as bigint) AS polygon_id, zone,"
+        " count(*) AS n_pages,"
+        " count(DISTINCT lang) AS n_langs,"
+        " cast(sum(length(text)) as bigint) AS sum_text_chars,"
+        " min(lonm) AS min_lonm, max(latm) AS max_latm,"
+        " round(cast(sum(length(text)) as double) / cast(count(*) as double), 6)"
+        "   AS avg_text_chars"
+        " FROM pip GROUP BY polygon_id, zone",
+    )
+    sql["pyramid_l8"] = (
+        raster_valid
+        + """
+SELECT map_id, cast(floor(px / 8) as bigint) AS bx,
+  cast(floor(py / 8) as bigint) AS by,
+  cast(sum(elev_m) as bigint) AS s, count(*) AS c,
+  round(cast(sum(elev_m) as double) / cast(count(*) as double), 6) AS avg_val
+FROM rv GROUP BY 1, 2, 3"""
+    )
+    sql["mapbox_encode"] = (
+        raster_valid
+        + f"\nSELECT px, py, {mb_r} AS enc_r, {mb_g} AS enc_g, {mb_b} AS enc_b FROM rv"
+    )
+    sql["terrarium_encode"] = (
+        raster_valid
+        + f"\nSELECT px, py, {tr_r} AS enc_r, {tr_g} AS enc_g, {tr_b} AS enc_b FROM rv"
+    )
+    sql["percentile_breaks"] = (
+        raster_valid
+        + ",\nstats AS (SELECT quantile_cont(cast(elev_m as double), 0.005) AS tmin,"
+        " quantile_cont(cast(elev_m as double), 0.96) AS tmax FROM rv)\n"
+        + "SELECT "
+        + ", ".join(
+            f"round({b}, 6) AS break_{i + 1}" for i, b in enumerate(breaks))
+        + " FROM stats"
+    )
+    sql["area_stats"] = (
+        raster
+        + "\nSELECT "
+        + ", ".join(f"{e} AS {n}" for n, e in AREA_STATS_EXPRS.items())
+        + " FROM raster WHERE alpha > 0"
+    )
+    sql["dedup_exact"] = (
+        "WITH corpus AS ("
+        " SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 1000 AS doc_id, text FROM documents"
+        "   WHERE doc_id % 10 = 0)"
+        " SELECT md5(text) AS dup_key, count(*) AS n_docs,"
+        " min(doc_id) AS keeper FROM corpus"
+        " GROUP BY 1 HAVING count(*) > 1"
+    )
+    sql["text_quality"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in qcols.items())
+        + " FROM documents"
+    )
+    sql["lang_stopwords"] = (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"cast({T.sql_stopword_hits('text', lang, 'duckdb')} as bigint)"
+            f" AS hits_{lang}"
+            for lang in ("en", "es", "fr"))
+        + f", {T.sql_fingerprint('text')} AS fingerprint FROM documents"
+    )
+    sql["registro_first_wins"] = _with_geo(
+        """
+reg AS (
+  SELECT *, cast(floor(cast(regexp_extract(url, 'p/([0-9]+)$', 1) as bigint)
+    / 10) as bigint) AS registroid
+  FROM geocoded
+),
+fw AS (
+  SELECT registroid, url,
+    row_number() OVER (PARTITION BY registroid ORDER BY warc_ts) AS rnk
+  FROM reg
+)""",
+        "SELECT registroid, url AS first_url,"
+        " substring(sha256(cast(registroid as varchar)), 1, 12) AS map_id"
+        " FROM fw WHERE rnk = 1",
+    )
+    sql["union_shards"] = _with_geo(
+        """
+u AS (
+  SELECT * FROM geocoded WHERE lang = 'es'
+  UNION ALL SELECT * FROM geocoded WHERE lang = 'en'
+  UNION ALL SELECT * FROM geocoded WHERE lang = 'pt'
+  UNION ALL SELECT * FROM geocoded WHERE lang = 'fr'
+)""",
+        "SELECT lang, count(*) AS n_pages FROM u GROUP BY lang",
+    )
+    sql["hourly_ingest"] = (
+        "WITH " + synth.pages_cte("duckdb")
+        + "\nSELECT date_trunc('hour', warc_ts) AS window_start, lang,"
+        " count(*) AS n_pages FROM pages GROUP BY 1, 2"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> cast(e.embedding[i] as double) * cast(q.q_emb[i] as double)))"
+    )
+    ne = ("sqrt(list_sum(list_transform(e.embedding,"
+          " x -> cast(x as double) * cast(x as double))))")
+    nq = ("sqrt(list_sum(list_transform(q.q_emb,"
+          " x -> cast(x as double) * cast(x as double))))")
+    sql["ann_cosine"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 5
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+    round({dot} / ({ne} * {nq}), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, vec_id, cast(rnk as bigint) AS rank, cos_sim
+FROM ranked WHERE rnk <= 10"""
+    sql["simhash"] = _simhash_oracle()
+    return sql
+
+
+def _simhash_oracle() -> str:
+    bits = dedup.SIMHASH_BITS
+    h60 = dedup.sql_hash60("tok", dialect="duckdb")
+    sums = ", ".join(
+        f"sum(case when (h // {1 << j}) % 2 = 1 then 1 else -1 end) AS s_{j}"
+        for j in range(bits))
+    pack = " + ".join(
+        f"(case when s_{j} > 0 then {1 << j} else 0 end)" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {h60} AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, cast({pack} as bigint) AS simhash FROM sums"""

@@ -1,0 +1,176 @@
+"""Benchmark harness: headline queries + two-parallelism scaling proxy.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "flagship_pages_per_sec": ...,
+   "scaling": {"local[8]": pps, "local[32]": pps, "efficiency": e}}
+
+The scaling block evidences the north rule's N-vs-4N-executor criterion
+in sandbox form (BASELINE.md protocol): identical input + job at two
+parallelism levels, efficiency = (pps_4N / pps_N) / 4.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_REPL (pages replication factor for the flagship
+     throughput measurement; default 8 => ~8x the sf pages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from geotiff_processor_spark.operators import pip, zonal
+from geotiff_processor_spark.sources import synth
+
+HEADLINE = [
+    "pip_count", "cell_encode", "tile_counts", "knn", "zonal_stats",
+    "pyramid_l8", "mapbox_encode", "terrarium_encode", "percentile_breaks",
+    "dedup_exact", "text_quality", "minhash_candidates", "ann_cosine",
+    "simhash",
+]
+
+
+def _session(master: str) -> SparkSession:
+    n = master.split("[")[-1].rstrip("]")
+    shuffle = n if n.isdigit() else "32"
+    return (
+        SparkSession.builder.master(master)
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "64g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> int:
+    """Fully evaluate every column (noop sink defeats count-only pruning)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def materialize_pages(spark, sf_dir: str, repl: int, path: str) -> None:
+    """Synthesize the (url, warc_ts, html, text, lang) pages table once and
+    write it as partitioned parquet. The flagship then measures the real
+    engine path — columnar scan -> geocode -> join — not the synthesizer
+    (whose inlined expressions also blow codegen limits if fused into the
+    query stage)."""
+    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    if repl > 1:
+        # deterministic replication: shift the url keyspace per replica
+        reps = [
+            pages.withColumn("url", F.concat(F.lit(f"r{r}-"), F.col("url")))
+            for r in range(repl)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        pages = out
+    pages.repartition(64).write.mode("overwrite").parquet(path)
+
+
+def flagship_pipeline(spark, pages):
+    """geocode -> cell encode -> broadcast PIP join -> pages per polygon
+    per tile (SURVEY.md §7 M0 query) + zonal stats, one pass."""
+    from geotiff_processor_spark.functions.geo import sql_tile_x, sql_tile_y
+    g = synth.geocode(pages)
+    asg = pip.pip_join(g, pip.build_cover_table(spark))
+    return (
+        asg.withColumn("tile_x", F.expr(sql_tile_x("lonm", 6)))
+        .withColumn("tile_y", F.expr(sql_tile_y("lat", 6)))
+        .groupBy("polygon_id", "zone", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum(F.length("text")).alias("n_bytes"))
+    )
+
+
+def run_flagship(master: str, pages_path: str) -> tuple[float, int]:
+    spark = _session(master)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_path)
+    n = pages.count()
+    # warm run settles JIT of generated code; then MIN of 4 timed runs —
+    # the host is multi-tenant (noisy neighbors), and min-of-N is the
+    # robust estimator of the job's true cost under external noise
+    job = flagship_pipeline(spark, pages)
+    _force(job)
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _force(job)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    spark.stop()
+    return n / dt, n
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # 256 x sf0.1 => 25.6M pages (~2 GB parquet): large enough that row
+    # work dominates fixed per-job overhead, so the scaling measurement
+    # reflects the engine, not the harness
+    repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "256"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = _session(f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):  # min-of-2: noisy multi-tenant host
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+    total = round(sum(times.values()), 3)
+    spark.stop()
+
+    # scaling proxy: same flagship job + input, local[8] vs local[32]
+    pages_path = f"/tmp/bench_pages_sf{sf}_x{repl}.parquet"
+    if not os.path.exists(pages_path):
+        s = _session(f"local[{cpus}]")
+        s.sparkContext.setLogLevel("ERROR")
+        materialize_pages(s, sf_dir, repl, pages_path)
+        s.stop()
+    pps8, _ = run_flagship("local[8]", pages_path)
+    pps32, n_pages = run_flagship("local[32]", pages_path)
+    efficiency = (pps32 / pps8) / 4
+
+    print(json.dumps({
+        "metric": "headline query wall-time (sum) at sf; flagship "
+                  "geocode->cell->PIP->zonal pages/sec; local[8] vs "
+                  "local[32] scaling efficiency",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "flagship_pages": n_pages,
+        "flagship_pages_per_sec_local32": round(pps32, 1),
+        "scaling": {
+            "local[8]_pages_per_sec": round(pps8, 1),
+            "local[32]_pages_per_sec": round(pps32, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

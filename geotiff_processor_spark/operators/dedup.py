@@ -1,0 +1,159 @@
+"""Deduplication operators for the training-data pipeline.
+
+- exact: md5-keyed groupBy (hash partial-agg; at 100 TB this shuffles
+  only (hash, count) pairs, never text).
+- first-wins registro dedup: the reference's processed-registry dict
+  (/root/reference/helpers.py:166-183) as a window row_number()=1 —
+  shares one map_id across the rgb/dem pair of a registroid.
+- MinHash + LSH banding: shingle -> per-permutation min-hash -> band
+  signature -> bucket-join. All native expressions (explode + min
+  aggregates over md5-derived 60-bit integers); candidate pairs verified
+  with exact Jaccard. No Python in the hot path.
+- SimHash: 16-bit sign-sum fingerprint over token hashes.
+
+Hashes are md5-based so the DuckDB oracle can reproduce them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_WORDS = 3
+SIMHASH_BITS = 16
+
+
+def sql_hash60(expr: str, dialect: str = "spark") -> str:
+    """60-bit deterministic integer hash from md5 hex (both engines)."""
+    if dialect == "duckdb":
+        return f"cast(('0x' || substring(md5({expr}), 1, 15)) as bigint)"
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """(dup_key, n_docs, keeper) for texts appearing more than once."""
+    return (
+        docs.withColumn("dup_key", F.md5(F.col(text_col)))
+        .groupBy("dup_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(key_col).alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def first_wins(df: DataFrame, partition_col: str, order_col: str) -> DataFrame:
+    """helpers.py:166-183 as a window: keep the first row per key."""
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text",
+             n: int = SHINGLE_WORDS) -> DataFrame:
+    """Explode word n-gram shingles: (doc row..., shingle string)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return docs.withColumn("shingle", F.explode(F.array_distinct(sh)))
+
+
+def minhash_signatures(docs: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_hashes: int = N_MINHASH) -> DataFrame:
+    """(key, mh_0..mh_{n-1}): one min-aggregate per permutation.
+
+    Permutation j = hash60(shingle || '#j'). One explode, n partial-agg
+    mins — a single shuffle keyed on the doc, carrying n bigints/doc.
+    """
+    sh = shingles(docs.select(key_col, text_col), text_col)
+    aggs = [
+        F.min(F.expr(sql_hash60(f"concat(shingle, '#', {j})"))).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(key_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, key_col: str = "doc_id",
+                        n_hashes: int = N_MINHASH,
+                        n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signature, self-join on (band, band_sig): (key_a, key_b)."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(":", *[c.cast("string") for c in cols])
+                           ).alias("sig")))
+    banded = signatures.select(
+        key_col, F.explode(F.array(*bands)).alias("bs")
+    ).select(key_col, F.col("bs.band").alias("band"),
+             F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(F.col(f"a.{key_col}").alias("key_a"),
+                F.col(f"b.{key_col}").alias("key_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame,
+                   key_col: str = "doc_id", text_col: str = "text",
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (never all-pairs)."""
+    sh = shingles(docs.select(key_col, text_col), text_col) \
+        .select(F.col(key_col).alias("k"), "shingle")
+    a = sh.alias("sa").withColumnRenamed("k", "key_a")
+    b = sh.alias("sb").withColumnRenamed("k", "key_b")
+    inter = (
+        pairs.join(a, "key_a").join(
+            b, ["key_b", "shingle"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("n_sh"))
+    out = (
+        inter.join(sizes.withColumnRenamed("k", "key_a")
+                   .withColumnRenamed("n_sh", "n_a"), "key_a")
+        .join(sizes.withColumnRenamed("k", "key_b")
+              .withColumnRenamed("n_sh", "n_b"), "key_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash(docs: DataFrame, key_col: str = "doc_id",
+            text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(key, simhash): sign-sum of per-token hash bits, packed to int."""
+    toks = docs.select(
+        key_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = toks.withColumn("h", F.expr(sql_hash60("tok")))
+    bit_sums = [
+        F.sum(F.when((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) == 1,
+                     1).otherwise(-1)).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy(key_col).agg(*bit_sums)
+    packed = sums.select(
+        key_col,
+        sum((F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            for j in range(bits)).cast("bigint").alias("simhash"),
+    )
+    return packed

@@ -1,0 +1,77 @@
+"""Per-partition lineage + metrics, checkpointed resume (north_rule).
+
+Reference analogs: the gdalinfo JSON sink (/root/reference/gdalinfo.py:6-22
+— per-output diagnostics) and the in-run processed-registry dict
+(/root/reference/helpers.py:166-183 — dedup of already-done work).
+
+Engine form:
+- ``partition_metrics``: row-count + byte metrics per partition key —
+  written next to every stage output so a 1000-executor run is auditable.
+- ``checkpoint_write`` / ``resume_filter``: idempotent stage commits; on
+  restart an anti-join against the completed-keys table skips finished
+  partitions (resumable mid-tile-pyramid).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_metrics(df: DataFrame, key_cols: list[str],
+                      bytes_col: str | None = None) -> DataFrame:
+    """(key..., n_rows, n_bytes): byte size from an explicit payload
+    column when given, else the whole-row approximation via to_json."""
+    size = (
+        F.length(F.col(bytes_col)) if bytes_col is not None
+        else F.length(F.to_json(F.struct(*df.columns)))
+    )
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(size).alias("n_bytes"))
+    )
+
+
+def checkpoint_write(df: DataFrame, out_dir: str, stage: str,
+                     partition_cols: list[str]) -> None:
+    """Stage output + completed-keys marker, both idempotent overwrites.
+
+    Real deployment: Iceberg ``overwritePartitions``; here partitioned
+    parquet with dynamic partition overwrite gives the same
+    idempotent-per-partition semantics.
+    """
+    data_path = os.path.join(out_dir, stage)
+    done_path = os.path.join(out_dir, f"{stage}__done")
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(data_path)
+    )
+    (
+        df.select(*partition_cols).distinct()
+        .withColumn("stage", F.lit(stage))
+        .write.mode("overwrite").parquet(done_path)
+    )
+
+
+def completed_keys(spark: SparkSession, out_dir: str,
+                   stage: str) -> DataFrame | None:
+    done_path = os.path.join(out_dir, f"{stage}__done")
+    try:
+        return spark.read.parquet(done_path)
+    except Exception:
+        return None
+
+
+def resume_filter(df: DataFrame, spark: SparkSession, out_dir: str,
+                  stage: str, partition_cols: list[str]) -> DataFrame:
+    """Anti-join away work whose partition already committed."""
+    done = completed_keys(spark, out_dir, stage)
+    if done is None:
+        return df
+    return df.join(
+        F.broadcast(done.select(*partition_cols)),
+        on=partition_cols, how="left_anti")

@@ -1,0 +1,312 @@
+"""Deterministic synthetic inputs shared by the engine and the oracle.
+
+The authoritative input shape comes from BASELINE.json ``input_hint``:
+an Iceberg/parquet table of Common-Crawl-style web pages
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+This module synthesizes that table *deterministically from integers*
+(row index ``i`` = ``events.event_id`` so row count scales with the sf
+directory) using pure integer arithmetic — the same SQL text evaluates
+bit-identically in Spark and DuckDB, which is what makes the spatial
+operators differential-testable (driver's CORRECTNESS gate).
+
+Geo layout: each page's text embeds its location as integer
+milli-degrees (``loc=<lonm>/<latm>``) — the geocode stage extracts them.
+5% of pages (i % 20 == 0) land in 3 "hot cities" (urban-skew analog,
+north_rule: salting / AQE skew handling), the rest spread uniformly via
+a Knuth-multiplicative hash.
+
+Also defined here: the polygon layer (8x8 world grid + 3 hot-city boxes
+— overlapping, so multi-membership is exercised), a synthetic
+raster-as-table (256x256 DEM+RGB with a nodata hole and -10000
+sentinels, FIXTURES.md F3, mirroring /root/reference/process.py:107-120)
+and the kNN query points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# hot cities in integer milli-degrees: Buenos Aires (reference locale),
+# Paris, Tokyo
+HOT_CITIES = [(-58400, -34600), (2350, 48850), (139770, 35680)]
+HOT_BOX_MDEG = 200  # hot polygon half-width: jitter is +-50, so all inside
+N_GRID_X, N_GRID_Y = 8, 8
+RASTER_SIZE = 256
+NO_DATA = -10000.0
+
+# ---------------------------------------------------------------------------
+# pages
+# ---------------------------------------------------------------------------
+
+_H1 = "((i * 2654435761) % 4294967296)"
+_H2 = "((i * 2246822519) % 4294967296)"
+
+
+def _sql_hot_pick(values: list[int]) -> str:
+    v0, v1, v2 = values
+    return (
+        "(case cast(floor(i / 20) as bigint) % 3 "
+        f"when 0 then {v0} when 1 then {v1} else {v2} end)"
+    )
+
+
+SQL_LONM = (
+    "(case when i % 20 = 0 then "
+    + _sql_hot_pick([c[0] for c in HOT_CITIES])
+    + f" + (({_H1} % 100) - 50)"
+    + f" else ({_H1} % 360000) - 180000 end)"
+)
+SQL_LATM = (
+    "(case when i % 20 = 0 then "
+    + _sql_hot_pick([c[1] for c in HOT_CITIES])
+    + f" + (({_H2} % 100) - 50)"
+    + f" else ({_H2} % 120000) - 60000 end)"
+)
+SQL_LANG = (
+    "(case i % 4 when 0 then 'es' when 1 then 'en'"
+    " when 2 then 'pt' else 'fr' end)"
+)
+SQL_KIND = "(case when i % 5 = 0 then 'dem' else 'rgb' end)"
+SQL_REGISTROID = "cast(floor(i / 10) as bigint)"
+SQL_URL = "concat('https://site', i % 1000, '.example/p/', i)"
+# text embeds the geocodable location as integers (byte-identical across
+# engines; the per-url byte-identical `text` invariant of BASELINE.json)
+SQL_TEXT = (
+    "concat('Page ', i, ' of registro ', " + SQL_REGISTROID + ", "
+    "' kind ', " + SQL_KIND + ", "
+    "' loc=', " + SQL_LONM + ", '/', " + SQL_LATM + ", "
+    "' lang ', " + SQL_LANG + ", "
+    "' the quick brown fox jumps over the lazy dog')"
+)
+
+# geocode extraction (runs on the engine side AND in the oracle — the
+# pages table itself only carries url/warc_ts/html/text/lang)
+SQL_GEO_LONM = "cast(regexp_extract(text, 'loc=(-?[0-9]+)/(-?[0-9]+)', 1) as bigint)"
+SQL_GEO_LATM = "cast(regexp_extract(text, 'loc=(-?[0-9]+)/(-?[0-9]+)', 2) as bigint)"
+
+
+def sql_warc_ts(dialect: str) -> str:
+    if dialect == "duckdb":
+        return "(TIMESTAMP '2025-01-01 00:00:00' + i * INTERVAL 1 SECOND)"
+    return "(timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,i))"
+
+
+def pages_cte(dialect: str, source: str = "events") -> str:
+    """CTE text producing the canonical pages table from `events`.
+
+    Emits exactly the input_hint columns (html omitted in the oracle —
+    binary columns are excluded from value-hash comparisons; the Spark
+    builder adds it).
+    """
+    return f"""
+p0 AS (SELECT event_id AS i FROM {source}),
+pages AS (
+  SELECT
+    {SQL_URL} AS url,
+    {sql_warc_ts(dialect)} AS warc_ts,
+    {SQL_TEXT} AS text,
+    {SQL_LANG} AS lang
+  FROM p0
+)"""
+
+
+def build_pages(spark: SparkSession, sf_dir: str,
+                with_html: bool = True) -> DataFrame:
+    """Spark-side pages builder (same expressions via F.expr)."""
+    import os
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p0 = events.select(F.col("event_id").alias("i"))
+    pages = p0.select(
+        F.expr(SQL_URL).alias("url"),
+        F.expr(sql_warc_ts("spark")).alias("warc_ts"),
+        F.expr(SQL_TEXT).alias("text"),
+        F.expr(SQL_LANG).alias("lang"),
+    )
+    if with_html:
+        pages = pages.withColumn(
+            "html",
+            F.encode(
+                F.concat(F.lit("<html><body><p>"), F.col("text"),
+                         F.lit("</p></body></html>")),
+                "UTF-8",
+            ),
+        ).select("url", "warc_ts", "html", "text", "lang")
+    return pages
+
+
+def geocode(pages: DataFrame, cell_levels: int = 12) -> DataFrame:
+    """Geocode stage: extract integer milli-degrees from text, derive
+    lon/lat doubles and the hierarchical cell id (native expressions;
+    quadkey quotients computed once — see sql_cell_id_from_q)."""
+    from ..functions.geo import sql_cell_id_from_q, sql_cell_xq, sql_cell_yq
+
+    return (
+        pages.withColumn("lonm", F.expr(SQL_GEO_LONM))
+        .withColumn("latm", F.expr(SQL_GEO_LATM))
+        .withColumn("lon", F.col("lonm") / F.lit(1000.0))
+        .withColumn("lat", F.col("latm") / F.lit(1000.0))
+        .withColumn("xq", F.expr(sql_cell_xq("lonm", cell_levels)))
+        .withColumn("yq", F.expr(sql_cell_yq("latm", cell_levels)))
+        .withColumn("cell_id",
+                    F.expr(sql_cell_id_from_q("xq", "yq", cell_levels)))
+        .drop("xq", "yq")
+    )
+
+
+def geocoded_cte(dialect: str, cell_levels: int = 12) -> str:
+    """pages + geocode as oracle CTE (same formula text as `geocode`)."""
+    from ..functions.geo import sql_cell_id_from_q, sql_cell_xq, sql_cell_yq
+
+    return f"""{pages_cte(dialect)},
+g0 AS (
+  SELECT
+    url, warc_ts, text, lang,
+    {SQL_GEO_LONM} AS lonm,
+    {SQL_GEO_LATM} AS latm
+  FROM pages
+),
+g1 AS (
+  SELECT *,
+    {sql_cell_xq("lonm", cell_levels)} AS xq,
+    {sql_cell_yq("latm", cell_levels)} AS yq
+  FROM g0
+),
+geocoded AS (
+  SELECT
+    url, warc_ts, text, lang, lonm, latm,
+    lonm / cast(1000 as double) AS lon,
+    latm / cast(1000 as double) AS lat,
+    {sql_cell_id_from_q("xq", "yq", cell_levels)} AS cell_id
+  FROM g1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# polygons (vector layer — FIXTURES.md F2 analog, integer-mdeg boxes)
+# ---------------------------------------------------------------------------
+
+def polygon_rows() -> list[tuple]:
+    """(polygon_id, zone, min_lonm, min_latm, max_lonm, max_latm).
+
+    Max-exclusive membership: lonm in [min, max), latm in [min, max).
+    The 64 grid boxes tile the full uniform domain; the 3 hot boxes
+    overlap them (pages in cities match 2 polygons).
+    """
+    rows = []
+    for pid in range(N_GRID_X * N_GRID_Y):
+        gx, gy = pid % N_GRID_X, pid // N_GRID_X
+        min_lonm = -180_000 + gx * 45_000
+        min_latm = -60_000 + gy * 15_000
+        rows.append((pid, "grid", min_lonm, min_latm,
+                     min_lonm + 45_000, min_latm + 15_000))
+    for j, (clonm, clatm) in enumerate(HOT_CITIES):
+        rows.append((64 + j, "hot",
+                     clonm - HOT_BOX_MDEG, clatm - HOT_BOX_MDEG,
+                     clonm + HOT_BOX_MDEG, clatm + HOT_BOX_MDEG))
+    return rows
+
+
+POLYGON_COLS = ("polygon_id", "zone", "min_lonm", "min_latm",
+                "max_lonm", "max_latm")
+
+
+def build_polygons(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(polygon_rows(), schema=list(POLYGON_COLS))
+    return df.select(
+        F.col("polygon_id").cast("bigint"),
+        "zone",
+        F.col("min_lonm").cast("bigint"),
+        F.col("min_latm").cast("bigint"),
+        F.col("max_lonm").cast("bigint"),
+        F.col("max_latm").cast("bigint"),
+    )
+
+
+def polygons_cte() -> str:
+    vals = ",\n    ".join(
+        f"({pid}, '{zone}', {a}, {b}, {c}, {d})"
+        for pid, zone, a, b, c, d in polygon_rows()
+    )
+    return (
+        "polygons AS (\n  SELECT * FROM (VALUES\n    " + vals +
+        "\n  ) AS t(polygon_id, zone, min_lonm, min_latm, max_lonm, max_latm)\n)"
+    )
+
+
+SQL_PIP_PREDICATE = (
+    "g.lonm >= p.min_lonm AND g.lonm < p.max_lonm AND "
+    "g.latm >= p.min_latm AND g.latm < p.max_latm"
+)
+
+
+# ---------------------------------------------------------------------------
+# raster-as-table (FIXTURES.md F3)
+# ---------------------------------------------------------------------------
+
+def raster_cte(dialect: str) -> str:
+    src = (
+        "(SELECT range AS i FROM range(65536))" if dialect == "duckdb"
+        else "(SELECT id AS i FROM range(65536))"
+    )
+    return f"""
+r0 AS (
+  SELECT
+    cast(i % 256 as bigint) AS px,
+    cast(floor(i / 256) as bigint) AS py
+  FROM {src}
+),
+raster AS (
+  SELECT
+    'm0' AS map_id, px, py,
+    (case when (px * 31 + py * 17) % 997 = 0 then cast(-10000 as double)
+      else cast((px * 7 + py * 13) % 1000 as double)
+        + ((px + py) % 10) / cast(10 as double) end) AS elev,
+    cast((px * 7 + py * 13) % 1000 as bigint) AS elev_m,
+    cast((px * 3 + py * 5) % 256 as bigint) AS r,
+    cast((px * 11 + py * 7) % 256 as bigint) AS g,
+    cast((px * 13 + py * 3) % 256 as bigint) AS b,
+    (case when px between 100 and 120 and py between 50 and 90
+      then 0 else 255 end) AS alpha
+  FROM r0
+)"""
+
+
+def build_raster(spark: SparkSession) -> DataFrame:
+    """Same raster via Spark's range TVF + identical expressions."""
+    return spark.sql("WITH " + raster_cte("spark") + " SELECT * FROM raster")
+
+
+# valid-data mask used by stats/pyramid (P6 nodata semantics:
+# helpers.py:95-106 — drop sentinel AND negatives, disregard_values_less_than_0)
+SQL_RASTER_VALID = "(elev <> cast(-10000 as double) AND elev >= 0)"
+
+
+# ---------------------------------------------------------------------------
+# kNN query points
+# ---------------------------------------------------------------------------
+
+def knn_query_rows() -> list[tuple]:
+    return [
+        (qid, -160_000 + qid * 21_000, -55_000 + qid * 7_000)
+        for qid in range(16)
+    ]
+
+
+def build_knn_queries(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(
+        knn_query_rows(), schema=["query_id", "qlonm", "qlatm"])
+    return df.select(
+        F.col("query_id").cast("bigint"),
+        F.col("qlonm").cast("bigint"),
+        F.col("qlatm").cast("bigint"),
+    )
+
+
+def knn_queries_cte() -> str:
+    vals = ",\n    ".join(f"({q}, {lo}, {la})" for q, lo, la in knn_query_rows())
+    return (
+        "knn_queries AS (\n  SELECT * FROM (VALUES\n    " + vals +
+        "\n  ) AS t(query_id, qlonm, qlatm)\n)"
+    )

@@ -1,0 +1,55 @@
+"""Structured-Streaming ingest: Trigger.AvailableNow micro-batches.
+
+The reference's per-file loop (/root/reference/process.py:100-241) maps
+to resumable micro-batch ingestion: each batch is processed through the
+geocode -> cell-encode pipeline and committed with exactly-once file
+sink semantics; the checkpoint directory replaces the in-memory
+processed dict (helpers.py:166-183). Event-time tumbling windows over
+``warc_ts`` provide the throughput-metrics stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.synth import geocode
+
+
+def ingest_pages_stream(spark: SparkSession, input_dir: str,
+                        output_dir: str, checkpoint_dir: str,
+                        schema=None) -> None:
+    """Read parquet files as a stream, geocode + cell-encode, write
+    partitioned parquet with AvailableNow (drain-everything-then-stop:
+    the batch-with-resume execution mode of SURVEY.md §2.9)."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    enriched = geocode(stream).withColumn(
+        "cell_pfx", F.substring("cell_id", 1, 2))
+    q = (
+        enriched.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cell_pfx")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_throughput(pages: DataFrame,
+                        window: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window counts over warc_ts (batch or stream;
+    add withWatermark upstream for a live stream)."""
+    return (
+        pages.groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"),
+                "lang", "n_pages")
+    )

@@ -1,0 +1,99 @@
+"""Dev harness mimicking the driver's DuckDB differential check.
+
+Runs every queries() entry on Spark and, when an oracle_sql() entry
+exists, the SQL on DuckDB; compares row counts and order-insensitive
+value multisets (columns sorted by name, values stringified with float
+rounding). Usage: python scripts/diffcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from geotiff_processor_spark.session import get_spark  # noqa: E402
+from geotiff_processor_spark.sources.testdata import TABLES  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for _, c in sorted(zip(range(len(cols)), cols))], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("diffcheck", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"[SPARK-ERR] {name}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"[DUCK-ERR] {name}: {str(e)[:300]}")
+            continue
+        sc, sn = norm_rows(scols, [tuple(r) for r in srows])
+        dc, dn = norm_rows(dcols, drows)
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"[COLS] {name}: spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        if len(sn) != len(dn):
+            failures.append(name)
+            print(f"[COUNT] {name}: spark={len(sn)} duck={len(dn)}")
+            continue
+        if sn != dn:
+            failures.append(name)
+            bad = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            print(f"[VALUES] {name}: first diffs {bad}")
+            continue
+        print(f"[OK] {name}: {len(sn)} rows")
+    print("FAILURES:", failures or "none")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,42 @@
+"""ANN: numpy path matches fold-left path; LSH recall floor."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.operators import ann
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_numpy_topk_matches_exact(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    exact = ann.cosine_topk(emb, n_queries=3, k=5)
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    qmat = np.stack([np.array(r["embedding"]) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    fast = ann.cosine_topk_numpy(emb, qmat, qids, k=5)
+    a = {(r["query_vec_id"], r["vec_id"]) for r in exact.collect()}
+    b = {(r["query_vec_id"], r["vec_id"]) for r in fast.collect()}
+    # identical neighbor sets (sims may differ in last ulp)
+    assert a == b
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    exact = {(r["query_vec_id"], r["vec_id"])
+             for r in ann.cosine_topk(emb, n_queries=5, k=10).collect()}
+    got = {(r["query_vec_id"], r["vec_id"])
+           for r in ann.lsh_bucket_ann(emb, n_queries=5, k=10,
+                                       bits=4, n_tables=8).collect()}
+    recall = len(exact & got) / len(exact)
+    # 8 tables x 4-bit SRP; documented approximate operator
+    assert recall >= 0.4
+
+
+def test_srp_buckets_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(50)
+    a = ann.srp_signature(emb).select("vec_id", "bucket")
+    b = ann.srp_signature(emb).select("vec_id", "bucket")
+    assert a.exceptAll(b).count() == 0

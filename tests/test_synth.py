@@ -1,0 +1,42 @@
+"""Engine-vs-oracle equivalence of the synthetic sources themselves —
+pins the byte-identical `text` per url invariant (BASELINE.json)."""
+
+from geotiff_processor_spark.sources import synth
+from geotiff_processor_spark.testing import assert_spark_equals_duck
+
+
+def test_pages_identical_across_engines(spark, duck, sf_dir):
+    df = synth.build_pages(spark, sf_dir, with_html=False)
+    sql = "WITH " + synth.pages_cte("duckdb") + " SELECT * FROM pages"
+    assert_spark_equals_duck(df, duck, sql, "pages")
+
+
+def test_geocoded_identical_across_engines(spark, duck, sf_dir):
+    df = synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+    sql = "WITH " + synth.geocoded_cte("duckdb") + " SELECT * FROM geocoded"
+    assert_spark_equals_duck(df, duck, sql, "geocoded")
+
+
+def test_raster_identical_across_engines(spark, duck):
+    df = synth.build_raster(spark)
+    sql = "WITH " + synth.raster_cte("duckdb").lstrip(",\n ") + \
+        " SELECT * FROM raster"
+    assert_spark_equals_duck(df, duck, sql, "raster")
+
+
+def test_html_embeds_text(spark, sf_dir):
+    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    row = pages.first()
+    assert row["text"] in row["html"].decode("utf-8")
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_hot_skew_present(spark, sf_dir):
+    g = synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+    n = g.count()
+    from pyspark.sql import functions as F
+    hot = g.filter(
+        (F.abs(F.col("lonm") - (-58400)) <= 50)
+        & (F.abs(F.col("latm") - (-34600)) <= 50)).count()
+    # ~5% of pages across 3 cities => ~1.67% in Buenos Aires
+    assert hot >= n * 0.01
