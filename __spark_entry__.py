@@ -26,7 +26,20 @@ from geotiff_processor_spark.functions.encodings import (
     terrarium_rgb,
 )
 from geotiff_processor_spark.functions.geo import sql_dist2_mdeg
-from geotiff_processor_spark.operators import ann, dedup, knn, pip, pyramid, tiling, zonal
+from geotiff_processor_spark.functions.parsing import parse_vendor_date
+from geotiff_processor_spark.operators import (
+    ann,
+    dedup,
+    hillshade,
+    knn,
+    multimodal,
+    outline,
+    pip,
+    pyramid,
+    tiling,
+    zonal,
+)
+from geotiff_processor_spark.plans import lineage
 from geotiff_processor_spark.sources import synth
 
 SF001 = "/root/testdata/sf0.001"
@@ -242,6 +255,188 @@ def q_pip_raycast(spark, sf_dir):  # rows-only: pandas-UDF ray cast path
     return pip.pip_join_raycast(_geocoded(spark, sf_dir), polys)
 
 
+def q_nodata_normalize(spark, sf_dir):
+    """P6/P7: sentinel rewrite + validity mask as explicit columns."""
+    r = synth.build_raster(spark)
+    return r.select(
+        "px", "py",
+        F.expr("case when isnan(elev) then cast(-10000 as double)"
+               " else elev end").alias("elev_norm"),
+        F.expr(f"case when {synth.SQL_RASTER_VALID} then 1 else 0 end")
+        .cast("bigint").alias("is_valid"),
+    )
+
+
+def q_vendor_dates(spark, sf_dir):
+    """Dual-format vendor date parse (helpers.py:29-42): even events get
+    the DroneDeploy ISO format (zone suffix chopped), odd the Pix4DMatic
+    colon format; parsed back and compared against ground truth."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    meta = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                     F.lit("-03:00")),
+        ).otherwise(F.date_format("ts", "yyyy:MM:dd HH:mm:ss"))
+        .alias("meta_date"),
+    )
+    return meta.select(
+        "event_id", parse_vendor_date("meta_date").alias("parsed_ts"))
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """A4 over the tile hierarchy: z6 counts rolled up to z3 (parent =
+    sum of 4 children), all levels unioned."""
+    base = tiling.tile_counts(_geocoded(spark, sf_dir), zoom=6)
+    levels = tiling.tile_pyramid_counts(base, down_to_zoom=3)
+    out = None
+    for z in sorted(levels):
+        out = levels[z] if out is None else out.unionByName(levels[z])
+    return out
+
+
+def q_hillshade(spark, sf_dir):
+    hs = hillshade.hillshade(_raster_valid(spark), tile=64)
+    return hs.select("px", "py", F.round("shade", 4).alias("shade"))
+
+
+def q_preview_math(spark, sf_dir):
+    """previews.py:95-117 scalar chain on the RGB bands: gamma,
+    soft-light blend, mean-anchored contrast."""
+    r = synth.build_raster(spark)
+    mean_r = r.agg(
+        F.expr("sum(r)").alias("s"), F.count(F.lit(1)).alias("c")
+    ).select((F.col("s").cast("double") / F.col("c").cast("double"))
+             .alias("mean_r"))
+    j = r.crossJoin(F.broadcast(mean_r))
+    return j.select(
+        "px", "py",
+        F.expr(hillshade.sql_gamma("r")).alias("gamma_r"),
+        F.expr(hillshade.sql_softlight_blend("r", "g")).alias("blend_rg"),
+        F.expr(hillshade.sql_contrast("r", "mean_r")).alias("contrast_r"),
+    )
+
+
+def q_outline_components(spark, sf_dir):  # rows-only: union-find polygonize
+    return outline.cell_outlines(_geocoded(spark, sf_dir),
+                                 group_col="lang", level=6)
+
+
+def q_outline_cellstats(spark, sf_dir):
+    """Oracle-checkable slice of the outline chain: per-group occupied
+    cell counts + bbox (components themselves are not SQL-expressible)."""
+    g = _geocoded(spark, sf_dir)
+    n = 1 << 6
+    cells = g.select(
+        F.col("lang").alias("grp"),
+        F.expr(f"cast(floor(least(greatest(lonm + 180000, 0), 359999)"
+               f" * {n} / 360000) as bigint)").alias("cx"),
+        F.expr(f"cast(floor(least(greatest(90000 - latm, 0), 179999)"
+               f" * {n} / 180000) as bigint)").alias("cy"),
+    ).distinct()
+    return cells.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("cx").alias("min_x"), F.max("cx").alias("max_x"),
+        F.min("cy").alias("min_y"), F.max("cy").alias("max_y"),
+    )
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal metadata sniff over the binary html column (native
+    substring-on-binary exprs; oracle recomputes from text since the
+    payload template is deterministic ASCII)."""
+    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    mm = multimodal.extract_media_meta(pages, payload_col="html")
+    return mm.select(
+        "url",
+        F.col("media_meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("media_meta.magic_hex").alias("magic_hex"),
+        F.col("media_meta.kind").alias("kind"),
+    )
+
+
+def q_decode_images(spark, sf_dir):  # rows-only: stubbed codec (fake decode)
+    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    return multimodal.decode_images(pages)
+
+
+def q_frame_sample(spark, sf_dir):  # rows-only: pandas-UDF frame sampler
+    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    return multimodal.frame_sample(pages)
+
+
+def q_lineage_metrics(spark, sf_dir):
+    """S13 gdalinfo analog: per-partition-key row/byte metrics."""
+    g = _geocoded(spark, sf_dir).withColumn(
+        "cell_pfx", F.substring("cell_id", 1, 1))
+    return lineage.partition_metrics(g, ["cell_pfx"], bytes_col="text")
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT ALL demo (SURVEY.md §2.7) over page shards."""
+    g = _geocoded(spark, sf_dir)
+    es = g.filter(F.col("lang") == "es").select("url")
+    rgb = g.filter(F.expr("url not like '%0'")).select("url")
+    inter = es.intersect(rgb).withColumn("op", F.lit("intersect"))
+    exc = es.exceptAll(rgb).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
+
+
+def q_events_window(spark, sf_dir):
+    """Window functions over events: rank + running sum per user."""
+    from pyspark.sql import Window as W
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.round(F.sum("value").over(
+            w.rowsBetween(W.unboundedPreceding, 0)), 6).alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary with cents-exact integer sums
+    (double sums are shuffle-order-dependent; cents are not)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
+    disc = "cast(round(l_discount * 100) as bigint)"
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("cast(round(sum(l_quantity)) as bigint)").alias("sum_qty"),
+            F.expr(f"sum({cents})").alias("sum_base_cents"),
+            F.expr(f"sum({cents} * (100 - {disc}))").alias("sum_disc_c4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_join_nation_revenue(spark, sf_dir):
+    """Star-schema join chain: lineitem |> orders |> customer |> nation
+    |> region — broadcast dims, cents-exact revenue per nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
+    disc = "cast(round(l_discount * 100) as bigint)"
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name", "r_name").agg(
+        F.expr(f"sum({cents} * (100 - {disc}))").alias("revenue_c4"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count": q_pip_count,
@@ -267,6 +462,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "pip_raycast": q_pip_raycast,
+        "nodata_normalize": q_nodata_normalize,
+        "vendor_dates": q_vendor_dates,
+        "tile_pyramid": q_tile_pyramid,
+        "hillshade": q_hillshade,
+        "preview_math": q_preview_math,
+        "outline_components": q_outline_components,
+        "outline_cellstats": q_outline_cellstats,
+        "media_meta": q_media_meta,
+        "decode_images": q_decode_images,
+        "frame_sample": q_frame_sample,
+        "lineage_metrics": q_lineage_metrics,
+        "set_ops": q_set_ops,
+        "events_window": q_events_window,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
     }
 
 
@@ -451,7 +661,138 @@ ranked AS (
 SELECT query_vec_id, vec_id, cast(rnk as bigint) AS rank, cos_sim
 FROM ranked WHERE rnk <= 10"""
     sql["simhash"] = _simhash_oracle()
+    sql["nodata_normalize"] = (
+        raster
+        + "\nSELECT px, py,"
+        " case when isnan(elev) then cast(-10000 as double) else elev end"
+        "   AS elev_norm,"
+        f" cast(case when {synth.SQL_RASTER_VALID} then 1 else 0 end"
+        "   as bigint) AS is_valid"
+        " FROM raster"
+    )
+    sql["vendor_dates"] = (
+        "SELECT event_id, date_trunc('second', ts) AS parsed_ts FROM events"
+    )
+    from geotiff_processor_spark.functions.geo import sql_tile_x as _tx
+    from geotiff_processor_spark.functions.geo import sql_tile_y as _ty
+    zoom_selects = [
+        f"SELECT cast({z} as bigint) AS zoom, {_tx('lonm', z)} AS tile_x,"
+        f" {_ty('lat', z)} AS tile_y, count(*) AS n_pages"
+        " FROM geocoded GROUP BY 1, 2, 3"
+        for z in (3, 4, 5, 6)
+    ]
+    sql["tile_pyramid"] = _with_geo("", "\nUNION ALL\n".join(zoom_selects))
+    sql["hillshade"] = _hillshade_oracle(raster_valid)
+    sql["preview_math"] = (
+        raster
+        + ",\nstats AS (SELECT cast(sum(r) as double) / cast(count(*) as"
+        " double) AS mean_r FROM raster)\n"
+        "SELECT px, py, "
+        + hillshade.sql_gamma("r") + " AS gamma_r, "
+        + hillshade.sql_softlight_blend("r", "g") + " AS blend_rg, "
+        + hillshade.sql_contrast("r", "mean_r") + " AS contrast_r"
+        " FROM raster CROSS JOIN stats"
+    )
+    n64 = 1 << 6
+    sql["outline_cellstats"] = _with_geo(
+        f"""
+cells AS (
+  SELECT DISTINCT lang AS grp,
+    cast(floor(least(greatest(lonm + 180000, 0), 359999)
+      * {n64} / 360000) as bigint) AS cx,
+    cast(floor(least(greatest(90000 - latm, 0), 179999)
+      * {n64} / 180000) as bigint) AS cy
+  FROM geocoded
+)""",
+        "SELECT grp, count(*) AS n_cells,"
+        " min(cx) AS min_x, max(cx) AS max_x,"
+        " min(cy) AS min_y, max(cy) AS max_y"
+        " FROM cells GROUP BY grp",
+    )
+    sql["media_meta"] = (
+        "WITH " + synth.pages_cte("duckdb")
+        + "\nSELECT url,"
+        " cast(length(text) + 33 as bigint) AS n_bytes,"
+        " '3C68746D' AS magic_hex, 'html' AS kind FROM pages"
+    )
+    sql["lineage_metrics"] = _with_geo(
+        "",
+        "SELECT substring(cell_id, 1, 1) AS cell_pfx,"
+        " count(*) AS n_rows,"
+        " cast(sum(length(text)) as bigint) AS n_bytes"
+        " FROM geocoded GROUP BY 1",
+    )
+    sql["set_ops"] = _with_geo(
+        """
+es AS (SELECT url FROM geocoded WHERE lang = 'es'),
+rgb AS (SELECT url FROM geocoded WHERE url NOT LIKE '%0')""",
+        "SELECT url, 'intersect' AS op FROM (SELECT url FROM es"
+        " INTERSECT SELECT url FROM rgb)"
+        " UNION ALL "
+        "SELECT url, 'except' AS op FROM (SELECT url FROM es"
+        " EXCEPT ALL SELECT url FROM rgb)",
+    )
+    sql["events_window"] = """
+SELECT event_id, user_id,
+  cast(row_number() OVER w as bigint) AS rn,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value,
+  lag(event_type, 1) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
+    disc = "cast(round(l_discount * 100) as bigint)"
+    sql["tpch_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+  cast(round(sum(l_quantity)) as bigint) AS sum_qty,
+  cast(sum({cents}) as bigint) AS sum_base_cents,
+  cast(sum({cents} * (100 - {disc})) as bigint) AS sum_disc_c4,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+    sql["tpch_join_nation_revenue"] = f"""
+SELECT n_name, r_name,
+  cast(sum({cents} * (100 - {disc})) as bigint) AS revenue_c4,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name"""
     return sql
+
+
+def _hillshade_oracle(raster_valid: str) -> str:
+    """Horn hillshade via 8 self-joins (inner joins = interior pixels
+    with all neighbors valid, matching the engine's NaN exclusion)."""
+    import math
+
+    zen = math.radians(90.0 - hillshade.ALTITUDE_DEG)
+    az = math.radians(hillshade.AZIMUTH_DEG)
+    dzdx = ("(((z3.elev + 2 * z6.elev + z9.elev)"
+            " - (z1.elev + 2 * z4.elev + z7.elev)) / (8 * cast(1 as double)))")
+    dzdy = ("(((z7.elev + 2 * z8.elev + z9.elev)"
+            " - (z1.elev + 2 * z2.elev + z3.elev)) / (8 * cast(1 as double)))")
+    slope = f"atan(5.0 * sqrt({dzdx} * {dzdx} + {dzdy} * {dzdy}))"
+    aspect = f"atan2({dzdy}, -{dzdx})"
+    shade = (f"(255.0 * (cos({zen!r}) * cos({slope})"
+             f" + sin({zen!r}) * sin({slope})"
+             f" * cos({az!r} - pi() / 2.0 - {aspect})))")
+    joins = []
+    # z1..z3 north row (py-1), z7..z9 south row (py+1) — Horn layout
+    offs = {"z1": (-1, -1), "z2": (0, -1), "z3": (1, -1),
+            "z4": (-1, 0), "z6": (1, 0),
+            "z7": (-1, 1), "z8": (0, 1), "z9": (1, 1)}
+    for a, (dx, dy) in offs.items():
+        joins.append(f"JOIN rv {a} ON {a}.px = c.px + {dx}"
+                     f" AND {a}.py = c.py + {dy}")
+    return (
+        raster_valid
+        + f"\nSELECT c.px, c.py, round({shade}, 4) AS shade FROM rv c\n"
+        + "\n".join(joins)
+    )
 
 
 def _simhash_oracle() -> str:

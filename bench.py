@@ -32,10 +32,12 @@ from geotiff_processor_spark.operators import pip, zonal
 from geotiff_processor_spark.sources import synth
 
 HEADLINE = [
-    "pip_count", "cell_encode", "tile_counts", "knn", "zonal_stats",
-    "pyramid_l8", "mapbox_encode", "terrarium_encode", "percentile_breaks",
+    "pip_count", "cell_encode", "tile_counts", "tile_pyramid", "knn",
+    "zonal_stats", "pyramid_l8", "mapbox_encode", "terrarium_encode",
+    "percentile_breaks", "hillshade", "outline_components", "preview_math",
     "dedup_exact", "text_quality", "minhash_candidates", "ann_cosine",
-    "simhash",
+    "simhash", "media_meta", "decode_images", "tpch_pricing",
+    "tpch_join_nation_revenue", "events_window",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct — the Spark-side plumbing (schema, partitioning, Arrow
+batch shape, UDF signatures) is real and tested; the actual codec step
+is STUBBED (no image/audio libraries in this container) behind either
+``NotImplementedError`` (strict mode) or a deterministic fake decoder.
+
+Operators:
+- ``extract_media_meta``: sniff magic bytes + sizes from the binary
+  column — native expressions only (substring on binary), no Python.
+- ``decode_images``: mapInPandas batch decoder. Strict=real-codec path
+  (raises NotImplementedError at task level); default=deterministic
+  fake (payload-hash-seeded HxWx3 stats) exercising the identical
+  Arrow batch shape a PIL/libjpeg decoder would use.
+- ``thumbnail_stats``: "resize" analog — block-average the fake pixel
+  grid to a fixed thumbnail, emit per-channel means (the reference's
+  preview downsample, /root/reference/export_formats/previews.py:24-39).
+- ``frame_sample``: 1:N UDTF-shaped sampler for video-like payloads —
+  emits every k-th frame index with a deterministic frame fingerprint.
+
+Scale notes: payloads never shuffle (all ops are map-side; aggregations
+happen on extracted features); binary columns stay columnar in parquet
+and are pruned unless referenced.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STRICT_DECODE = False  # flip to surface NotImplementedError in executors
+
+_MAGIC = [
+    ("jpeg", b"\xff\xd8\xff"),
+    ("png", b"\x89PNG"),
+    ("gif", b"GIF8"),
+    ("riff", b"RIFF"),
+    ("html", b"<htm"),
+]
+
+
+def extract_media_meta(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Typed metadata from the binary column with native expressions:
+    (n_bytes, magic, kind). No Python; stays in whole-stage codegen."""
+    prefix = F.expr(f"substring({payload_col}, 1, 4)")
+    kind = F.lit("bin")
+    for name, magic in reversed(_MAGIC):
+        kind = F.when(
+            F.expr(f"substring({payload_col}, 1, {len(magic)})")
+            == F.lit(bytearray(magic)), name).otherwise(kind)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.length(F.col(payload_col)).alias("n_bytes"),
+            F.hex(prefix).alias("magic_hex"),
+            kind.alias("kind"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, h: int = 16, w: int = 16) -> np.ndarray:
+    """Deterministic fake decoder: payload-hash-seeded uint8 HxWx3 image.
+
+    Stands in for PIL/libjpeg (absent in this container). Deterministic
+    so goldens are stable; same batch shape as a real decoder.
+    """
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def decode_images(df: DataFrame, payload_col: str = "html",
+                  key_col: str = "url", h: int = 16, w: int = 16,
+                  strict: bool | None = None) -> DataFrame:
+    """Batch image decode via mapInPandas (Arrow-vectorized transfer).
+
+    Returns (key, height, width, mean_r, mean_g, mean_b) — the feature
+    extraction a training pipeline runs post-decode. With strict=True
+    raises NotImplementedError (the real-codec slot: PIL/libjpeg would
+    plug in here with an identical signature).
+    """
+    strict = STRICT_DECODE if strict is None else strict
+    schema = (f"{key_col} string, height int, width int,"
+              " mean_r double, mean_g double, mean_b double")
+
+    def decode(batches):
+        if strict:
+            raise NotImplementedError(
+                "real image codec unavailable in this container; "
+                "plug PIL/libjpeg into _fake_decode's slot")
+        for pdf in batches:
+            keys = pdf[key_col].tolist()
+            out = {key_col: keys, "height": [], "width": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for payload in pdf[payload_col]:
+                img = _fake_decode(bytes(payload), h, w)
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
+
+
+def thumbnail_stats(df: DataFrame, payload_col: str = "html",
+                    key_col: str = "url", src: int = 16,
+                    thumb: int = 4) -> DataFrame:
+    """Resize analog: decode then block-average to a thumb x thumb grid;
+    emits one row per thumbnail cell (UDTF-shaped 1:N)."""
+    k = src // thumb
+    schema = (f"{key_col} string, ty int, tx int,"
+              " mean_r double, mean_g double, mean_b double")
+
+    def resize(batches):
+        for pdf in batches:
+            rows = {key_col: [], "ty": [], "tx": [],
+                    "mean_r": [], "mean_g": [], "mean_b": []}
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                img = _fake_decode(bytes(payload), src, src).astype(np.float64)
+                # block average: (thumb, k, thumb, k, 3) -> mean over k-axes
+                blocks = img.reshape(thumb, k, thumb, k, 3).mean(axis=(1, 3))
+                for ty in range(thumb):
+                    for tx in range(thumb):
+                        rows[key_col].append(key)
+                        rows["ty"].append(ty)
+                        rows["tx"].append(tx)
+                        rows["mean_r"].append(float(blocks[ty, tx, 0]))
+                        rows["mean_g"].append(float(blocks[ty, tx, 1]))
+                        rows["mean_b"].append(float(blocks[ty, tx, 2]))
+            yield pd.DataFrame(rows)
+
+    return df.select(key_col, payload_col).mapInPandas(resize, schema=schema)
+
+
+def frame_sample(df: DataFrame, payload_col: str = "html",
+                 key_col: str = "url", n_frames: int = 12,
+                 every: int = 4) -> DataFrame:
+    """Video frame-sampling analog: treat the payload as an n_frames
+    sequence, emit every `every`-th frame with a deterministic
+    fingerprint (sha256(payload || frame_idx))."""
+    schema = f"{key_col} string, frame_idx int, frame_sha string"
+
+    def sample(batches):
+        for pdf in batches:
+            keys, idxs, shas = [], [], []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                p = bytes(payload)
+                for i in range(0, n_frames, every):
+                    keys.append(key)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(
+                        p + i.to_bytes(4, "big")).hexdigest()[:16])
+            yield pd.DataFrame(
+                {key_col: keys, "frame_idx": idxs, "frame_sha": shas})
+
+    return df.select(key_col, payload_col).mapInPandas(sample, schema=schema)

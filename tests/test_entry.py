@@ -18,8 +18,14 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # the large majority of operators must be oracle-checked
-    assert len(oracles) >= len(qs) - 6
+    # the large majority of operators must be oracle-checked; only
+    # genuinely non-SQL-expressible ops (pandas-UDF decode/polygonize,
+    # LSH candidate generation, approximate kNN) may be rows-only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {
+        "knn_cell_prefix", "ann_lsh", "minhash_candidates", "pip_raycast",
+        "outline_components", "decode_images", "frame_sample",
+    }
 
 
 def test_all_queries_run_and_nonempty(spark, sf_dir):

@@ -1,0 +1,69 @@
+"""Multimodal plumbing: metadata sniff, stubbed decode, 1:N samplers."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.operators import multimodal
+from geotiff_processor_spark.sources import synth
+
+
+def _pages(spark, sf_dir, n=None):
+    p = synth.build_pages(spark, sf_dir, with_html=True)
+    return p.limit(n) if n else p
+
+
+def test_media_meta_kinds(spark, sf_dir):
+    mm = multimodal.extract_media_meta(_pages(spark, sf_dir, 20))
+    rows = mm.select("media_meta.*").collect()
+    assert all(r["kind"] == "html" for r in rows)
+    assert all(r["magic_hex"] == "3C68746D" for r in rows)
+    # jpeg magic detection
+    df = spark.createDataFrame(
+        [("a", bytearray(b"\xff\xd8\xff\xe0rest"))], ["url", "html"])
+    r = multimodal.extract_media_meta(df).select("media_meta.*").first()
+    assert r["kind"] == "jpeg" and r["n_bytes"] == 8
+
+
+def test_decode_strict_raises(spark, sf_dir):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.decode_images(
+            _pages(spark, sf_dir, 5), strict=True).collect()
+
+
+def test_decode_deterministic(spark, sf_dir):
+    a = multimodal.decode_images(_pages(spark, sf_dir, 30))
+    b = multimodal.decode_images(_pages(spark, sf_dir, 30))
+    assert a.exceptAll(b).count() == 0
+    rows = a.collect()
+    assert all(r["height"] == 16 and r["width"] == 16 for r in rows)
+    assert all(0 <= r["mean_r"] <= 255 for r in rows)
+
+
+def test_thumbnail_is_1_to_n(spark, sf_dir):
+    n = 10
+    th = multimodal.thumbnail_stats(_pages(spark, sf_dir, n))
+    assert th.count() == n * 16  # 4x4 thumb cells per payload
+
+
+def test_frame_sample_matches_local_hash(spark, sf_dir):
+    p = _pages(spark, sf_dir, 5)
+    fs = multimodal.frame_sample(p).collect()
+    payloads = {r["url"]: bytes(r["html"]) for r in p.collect()}
+    assert len(fs) == 5 * 3  # frames 0,4,8
+    for r in fs:
+        expect = hashlib.sha256(
+            payloads[r["url"]]
+            + int(r["frame_idx"]).to_bytes(4, "big")).hexdigest()[:16]
+        assert r["frame_sha"] == expect
+
+
+def test_binary_column_pruned_when_unused(spark, sf_dir, tmp_path):
+    """Multimodal scale contract: payloads stay columnar and are pruned
+    unless referenced."""
+    path = str(tmp_path / "pages")
+    _pages(spark, sf_dir).write.parquet(path)
+    df = spark.read.parquet(path).select("url", "lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in plan
