@@ -437,6 +437,69 @@ def q_tpch_join_nation_revenue(spark, sf_dir):
     )
 
 
+def q_minhash_sigs(spark, sf_dir):
+    """MinHash signatures (16 permutations) — oracle-checked: shingling,
+    md5-derived 60-bit hashes and min-aggregates reproduce in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signatures(docs.select("doc_id", "text"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection end-to-end: MinHash -> LSH bucket-join ->
+    exact n-gram Jaccard verify, on a corpus with planted near-dups
+    (every 20th doc re-keyed verbatim => jaccard 1.0 pairs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 20 == 0) \
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(clones)
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(corpus))
+    return dedup.jaccard_verify(corpus, pairs, threshold=0.999)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: planted scaled copies (cos == 1) found
+    among all candidate pairs above threshold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    scaled = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * cast(1.25 as float))")
+        .alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    a = corpus.select(F.col("vec_id").alias("vid_a"),
+                      F.col("embedding").alias("emb_a"))
+    b = corpus.select(F.col("vec_id").alias("vid_b"),
+                      F.col("embedding").alias("emb_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vid_a") < F.col("vid_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_a"), F.col("emb_b"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(
+        F.transform(F.col("emb_a"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(
+        F.transform(F.col("emb_b"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        pairs.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+        .filter(F.col("cos_sim") >= 0.9999)
+        .select("vid_a", "vid_b", "cos_sim")
+    )
+
+
+def q_salted_cell_counts(spark, sf_dir):
+    """Skew-safe aggregation over the hot-cell distribution: salted
+    two-phase groupBy == plain groupBy (oracle), different shuffle."""
+    from geotiff_processor_spark.operators import skew
+    g = _geocoded(spark, sf_dir).withColumn(
+        "cell8", F.substring("cell_id", 1, 8))
+    return skew.salted_counts(g.select("url", "cell8"), "cell8",
+                              n_salts=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count": q_pip_count,
@@ -477,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "tpch_pricing": q_tpch_pricing,
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
+        "minhash_sigs": q_minhash_sigs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "salted_cell_counts": q_salted_cell_counts,
     }
 
 
@@ -761,6 +828,37 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY n_name, r_name"""
+    mins = ", ".join(
+        "min(cast(('0x' || substring(md5(concat(shingle, '#', "
+        f"{j})), 1, 15)) as bigint)) AS mh_{j}"
+        for j in range(dedup.N_MINHASH))
+    sql["minhash_sigs"] = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(w) - 2, 1) + 1),
+      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+    FROM words)
+)
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id"""
+    sql["ngram_jaccard"] = (
+        "SELECT doc_id AS key_a, doc_id + 100000 AS key_b,"
+        " cast(1.0 as double) AS jaccard"
+        " FROM documents WHERE doc_id % 20 = 0"
+    )
+    sql["embedding_near_dup"] = (
+        "SELECT vec_id AS vid_a, vec_id + 100000 AS vid_b,"
+        " cast(1.0 as double) AS cos_sim"
+        " FROM embeddings WHERE vec_id % 25 = 0"
+    )
+    sql["salted_cell_counts"] = _with_geo(
+        "",
+        "SELECT substring(cell_id, 1, 8) AS cell8, count(*) AS n_rows"
+        " FROM geocoded GROUP BY 1",
+    )
     return sql
 
 

@@ -81,9 +81,11 @@ SQL_TEXT = (
 )
 
 # geocode extraction (runs on the engine side AND in the oracle — the
-# pages table itself only carries url/warc_ts/html/text/lang)
-SQL_GEO_LONM = "cast(regexp_extract(text, 'loc=(-?[0-9]+)/(-?[0-9]+)', 1) as bigint)"
-SQL_GEO_LATM = "cast(regexp_extract(text, 'loc=(-?[0-9]+)/(-?[0-9]+)', 2) as bigint)"
+# pages table itself only carries url/warc_ts/html/text/lang).
+# try_cast: a page without a parseable location geocodes to NULL instead
+# of aborting the job under Spark 4's default ANSI mode.
+SQL_GEO_LONM = "try_cast(regexp_extract(text, 'loc=(-?[0-9]+)/(-?[0-9]+)', 1) as bigint)"
+SQL_GEO_LATM = "try_cast(regexp_extract(text, 'loc=(-?[0-9]+)/(-?[0-9]+)', 2) as bigint)"
 
 
 def sql_warc_ts(dialect: str) -> str:

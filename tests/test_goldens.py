@@ -1,0 +1,51 @@
+"""Golden regression: every run must reproduce the committed fixtures
+row-exactly (north_rule: exact join rows + tile/cell assignments)."""
+
+import json
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+PARQUET_GOLDENS = {
+    "pip_assignments": lambda s, d: entrymod._pip(s, d)
+    .select("url", "polygon_id"),
+    "tile_assignments": "tile_assign",
+    "knn": "knn",
+    "pyramid_l8": "pyramid_l8",
+    "zonal_stats": "zonal_stats",
+    "cell_encode": "cell_encode",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PARQUET_GOLDENS))
+def test_parquet_golden(spark, sf_dir, name):
+    spec = PARQUET_GOLDENS[name]
+    fn = entrymod.queries()[spec] if isinstance(spec, str) else spec
+    got = fn(spark, sf_dir)
+    want = spark.read.parquet(os.path.join(GOLDEN_DIR, f"{name}.parquet"))
+    assert got.count() == want.count(), name
+    assert got.exceptAll(want).count() == 0, name
+    assert want.exceptAll(got).count() == 0, name
+
+
+def test_outline_geojson_golden(spark, sf_dir):
+    rows = entrymod.queries()["outline_components"](spark, sf_dir) \
+        .orderBy("grp", "component_id").collect()
+    with open(os.path.join(GOLDEN_DIR, "outline.geojson")) as f:
+        want = json.load(f)
+    assert len(rows) == len(want["features"])
+    for r, feat in zip(rows, want["features"]):
+        assert r["grp"] == feat["properties"]["grp"]
+        assert r["n_cells"] == feat["properties"]["n_cells"]
+        assert json.loads(r["ring_geojson"]) == feat["geometry"]
+
+
+def test_quantities_golden(spark, sf_dir):
+    row = entrymod.queries()["percentile_breaks"](spark, sf_dir).first()
+    got = ",".join(str(round(row[f"break_{i + 1}"], 6)) for i in range(7))
+    with open(os.path.join(GOLDEN_DIR, "quantities.txt")) as f:
+        assert got == f.read().strip()
