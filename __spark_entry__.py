@@ -500,6 +500,47 @@ def q_salted_cell_counts(spark, sf_dir):
                               n_salts=16)
 
 
+def q_url_parsing(spark, sf_dir):
+    """Scalar string-parsing surface (§2.8: process.py:121-151,
+    helpers.py:22-59): site host, page number, registro key, clean-name
+    split, deterministic map_id — all Catalyst-native."""
+    p = synth.build_pages(spark, sf_dir, with_html=False)
+    return p.select(
+        "url",
+        F.expr("regexp_extract(url, 'https://([^/]+)/', 1)").alias("site"),
+        F.expr("try_cast(regexp_extract(url, 'p/([0-9]+)$', 1) as bigint)")
+        .alias("page_no"),
+        F.expr("substring_index(regexp_extract(url, 'https://([^/]+)/', 1),"
+               " '.', 1)").alias("clean_name"),
+        F.expr("cast(floor(try_cast(regexp_extract(url, 'p/([0-9]+)$', 1)"
+               " as bigint) / 10) as bigint)").alias("registroid"),
+        F.expr("substring(sha2(cast(cast(floor(try_cast(regexp_extract(url,"
+               " 'p/([0-9]+)$', 1) as bigint) / 10) as bigint) as string),"
+               " 256), 1, 12)").alias("map_id"),
+    )
+
+
+def q_palette_join(spark, sf_dir):
+    """J4 range join: every valid pixel classified into its 7-break
+    palette color (breaks from the percentile walk), counts per color."""
+    from geotiff_processor_spark.functions.encodings import PALETTE
+    stats = _raster_valid(spark).agg(
+        F.expr("percentile(cast(elev_m as double), 0.005)").alias("tmin"),
+        F.expr("percentile(cast(elev_m as double), 0.96)").alias("tmax"),
+    )
+    breaks = sql_color_breaks("tmin", "tmax")
+    cases = " ".join(
+        f"when cast(elev_m as double) >= {b} then '{c}'"
+        for b, c in zip(reversed(breaks), reversed(PALETTE)))
+    expr = f"case {cases} else '{PALETTE[0]}' end"
+    j = _raster_valid(spark).crossJoin(F.broadcast(stats))
+    return (
+        j.select(F.expr(expr).alias("hexcolor"))
+        .groupBy("hexcolor")
+        .agg(F.count(F.lit(1)).alias("n_px"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count": q_pip_count,
@@ -544,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "salted_cell_counts": q_salted_cell_counts,
+        "url_parsing": q_url_parsing,
+        "palette_join": q_palette_join,
     }
 
 
@@ -858,6 +901,34 @@ SELECT doc_id, {mins} FROM sh GROUP BY doc_id"""
         "",
         "SELECT substring(cell_id, 1, 8) AS cell8, count(*) AS n_rows"
         " FROM geocoded GROUP BY 1",
+    )
+    sql["url_parsing"] = (
+        "WITH " + synth.pages_cte("duckdb") + """,
+parsed AS (
+  SELECT url,
+    regexp_extract(url, 'https://([^/]+)/', 1) AS site,
+    try_cast(regexp_extract(url, 'p/([0-9]+)$', 1) as bigint) AS page_no
+  FROM pages
+)
+SELECT url, site, page_no,
+  split_part(site, '.', 1) AS clean_name,
+  cast(floor(page_no / 10) as bigint) AS registroid,
+  substring(sha256(cast(cast(floor(page_no / 10) as bigint) as varchar)),
+            1, 12) AS map_id
+FROM parsed"""
+    )
+    from geotiff_processor_spark.functions.encodings import PALETTE
+    breaks = sql_color_breaks("tmin", "tmax")
+    cases = " ".join(
+        f"when cast(elev_m as double) >= {b} then '{c}'"
+        for b, c in zip(reversed(breaks), reversed(PALETTE)))
+    sql["palette_join"] = (
+        raster_valid
+        + ",\nstats AS (SELECT quantile_cont(cast(elev_m as double), 0.005)"
+        " AS tmin, quantile_cont(cast(elev_m as double), 0.96) AS tmax"
+        " FROM rv)\n"
+        f"SELECT case {cases} else '{PALETTE[0]}' end AS hexcolor,"
+        " count(*) AS n_px FROM rv CROSS JOIN stats GROUP BY 1"
     )
     return sql
 
