@@ -50,7 +50,8 @@ SF001 = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 
 def _geocoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+    return synth.geocode(
+        synth.build_pages_staged(spark, sf_dir, with_html=False))
 
 
 def _raster_valid(spark: SparkSession) -> DataFrame:
@@ -219,7 +220,7 @@ def q_union_shards(spark, sf_dir):
 
 def q_hourly_ingest(spark, sf_dir):
     """Streaming-shaped (2.9): event-time tumbling window counts."""
-    g = synth.build_pages(spark, sf_dir, with_html=False)
+    g = synth.build_pages_staged(spark, sf_dir, with_html=False)
     return (
         g.groupBy(F.date_trunc("hour", "warc_ts").alias("window_start"), "lang")
         .agg(F.count(F.lit(1)).alias("n_pages"))
@@ -346,7 +347,7 @@ def q_media_meta(spark, sf_dir):
     """Multimodal metadata sniff over the binary html column (native
     substring-on-binary exprs; oracle recomputes from text since the
     payload template is deterministic ASCII)."""
-    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    pages = synth.build_pages_staged(spark, sf_dir, with_html=True)
     mm = multimodal.extract_media_meta(pages, payload_col="html")
     return mm.select(
         "url",
@@ -357,12 +358,12 @@ def q_media_meta(spark, sf_dir):
 
 
 def q_decode_images(spark, sf_dir):  # rows-only: stubbed codec (fake decode)
-    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    pages = synth.build_pages_staged(spark, sf_dir, with_html=True)
     return multimodal.decode_images(pages)
 
 
 def q_frame_sample(spark, sf_dir):  # rows-only: pandas-UDF frame sampler
-    pages = synth.build_pages(spark, sf_dir, with_html=True)
+    pages = synth.build_pages_staged(spark, sf_dir, with_html=True)
     return multimodal.frame_sample(pages)
 
 
@@ -504,7 +505,7 @@ def q_url_parsing(spark, sf_dir):
     """Scalar string-parsing surface (§2.8: process.py:121-151,
     helpers.py:22-59): site host, page number, registro key, clean-name
     split, deterministic map_id — all Catalyst-native."""
-    p = synth.build_pages(spark, sf_dir, with_html=False)
+    p = synth.build_pages_staged(spark, sf_dir, with_html=False)
     return p.select(
         "url",
         F.expr("regexp_extract(url, 'https://([^/]+)/', 1)").alias("site"),

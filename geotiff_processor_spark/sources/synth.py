@@ -138,6 +138,36 @@ def build_pages(spark: SparkSession, sf_dir: str,
     return pages
 
 
+def build_pages_staged(spark: SparkSession, sf_dir: str,
+                       with_html: bool = True) -> DataFrame:
+    """build_pages materialized once to tmp parquet per sf_dir, then
+    read back columnar.
+
+    The reference stages its lazy intermediates the same way (tmp VRT,
+    helpers.py:150-163). Staging keeps downstream query plans reading a
+    real columnar source: synthesis expressions never fuse into (and
+    blow up) the query stage's generated code, and repeated queries()
+    calls don't re-synthesize.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha256(
+        f"{sf_dir}|html={with_html}|v2".encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"gps_pages_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".staging"
+        pages = build_pages(spark, sf_dir, with_html=with_html)
+        (pages.repartition(max(8, spark.sparkContext.defaultParallelism))
+         .write.mode("overwrite").parquet(tmp))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            pass  # concurrent writer won; theirs is identical
+    return spark.read.parquet(path)
+
+
 def geocode(pages: DataFrame, cell_levels: int = 12) -> DataFrame:
     """Geocode stage: extract integer milli-degrees from text, derive
     lon/lat doubles and the hierarchical cell id (native expressions;
