@@ -93,17 +93,38 @@ def knn_crossjoin(geocoded: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
 
 
 def knn_cell_prefix(geocoded: DataFrame, queries: DataFrame, k: int = 5,
-                    prefix_level: int = 2) -> DataFrame:
-    """Approximate kNN: candidates = pages in the query's level-p cell."""
+                    prefix_level: int = 2, ring: int = 1) -> DataFrame:
+    """Approximate kNN via the cell hierarchy: candidates = pages in the
+    query's level-p cell *plus its ring-r neighborhood* (the standard
+    grid-index expansion — a point near a cell border still sees its
+    true neighbors in the adjacent cell). One broadcast equi-join on the
+    cell prefix; no pages shuffle. Exact iff the true k-NN ball fits in
+    the (2r+1)x(2r+1) cell block; recall tested vs knn_exact.
+    """
+    from ..functions.geo import LAT_SPAN, LON_SPAN
+
+    n = 1 << prefix_level
     qrows = queries.select("query_id", "qlonm", "qlatm").collect()
-    q_lonm = np.array([r["qlonm"] for r in qrows], dtype=np.int64)
-    q_latm = np.array([r["qlatm"] for r in qrows], dtype=np.int64)
-    q_cells = np_cell_id(q_lonm, q_latm, levels=prefix_level)
+    expanded = []
+    for r in qrows:
+        xi = min(max(int(r["qlonm"]) + 180_000, 0), LON_SPAN - 1)
+        yi = min(max(90_000 - int(r["qlatm"]), 0), LAT_SPAN - 1)
+        xq, yq = xi * n // LON_SPAN, yi * n // LAT_SPAN
+        seen = set()
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                cx, cy = xq + dx, yq + dy
+                if not (0 <= cx < n and 0 <= cy < n) or (cx, cy) in seen:
+                    continue
+                seen.add((cx, cy))
+                digits = "".join(
+                    str(((cx >> (prefix_level - l)) & 1)
+                        + 2 * ((cy >> (prefix_level - l)) & 1))
+                    for l in range(1, prefix_level + 1))
+                expanded.append((int(r["query_id"]), int(r["qlonm"]),
+                                 int(r["qlatm"]), digits))
     qdf = geocoded.sparkSession.createDataFrame(
-        [(int(r["query_id"]), int(r["qlonm"]), int(r["qlatm"]), str(c))
-         for r, c in zip(qrows, q_cells)],
-        schema=["query_id", "qlonm", "qlatm", "qcell"],
-    )
+        expanded, schema=["query_id", "qlonm", "qlatm", "qcell"])
     cand = geocoded.withColumn(
         "cell_pfx", F.substring("cell_id", 1, prefix_level)
     ).join(F.broadcast(qdf), F.col("cell_pfx") == F.col("qcell"))

@@ -8,7 +8,6 @@ rounding). Usage: python scripts/diffcheck.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -17,25 +16,9 @@ sys.path.insert(0, "/root/repo")
 
 from geotiff_processor_spark.session import get_spark  # noqa: E402
 from geotiff_processor_spark.sources.testdata import TABLES  # noqa: E402
+from geotiff_processor_spark.testing import norm_rows  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-
-
-def norm_val(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
-
-
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for _, c in sorted(zip(range(len(cols)), cols))], out
 
 
 def main():

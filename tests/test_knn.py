@@ -23,11 +23,16 @@ def test_cell_prefix_recall(spark, sf_dir):
     g = _geocoded(spark, sf_dir)
     q = synth.build_knn_queries(spark)
     exact = knn.knn_exact(g, q, k=5).select("query_id", "url")
-    approx = knn.knn_cell_prefix(g, q, k=5, prefix_level=1) \
-        .select("query_id", "url")
     n_exact = exact.count()
-    n_hit = exact.intersect(approx).count()
-    assert n_hit / n_exact >= 0.6  # approximate by design; documented
+    approx0 = knn.knn_cell_prefix(g, q, k=5, prefix_level=2, ring=0) \
+        .select("query_id", "url")
+    approx1 = knn.knn_cell_prefix(g, q, k=5, prefix_level=2, ring=1) \
+        .select("query_id", "url")
+    recall0 = exact.intersect(approx0).count() / n_exact
+    recall1 = exact.intersect(approx1).count() / n_exact
+    # ring expansion must strictly help near cell borders
+    assert recall1 >= recall0
+    assert recall1 >= 0.95  # 3x3 block at level 2 covers the k-NN ball
 
 
 def test_knn_ranks_dense(spark, sf_dir):

@@ -1,0 +1,68 @@
+"""applyInPandasWithState: cumulative per-cell state across micro-batches
+and across restarts (checkpointed state)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.sources import synth
+from geotiff_processor_spark.streaming import stateful
+
+
+def _run_stream(spark, src, ckpt, out):
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    totals = stateful.running_cell_totals(synth.geocode(stream))
+    # memory sink is not fault tolerant (cannot resume from checkpoint);
+    # foreachBatch is, and lets updates land in parquet
+    q = (
+        totals.writeStream
+        .foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_stateful_totals_accumulate_across_restarts(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth.build_pages(spark, sf_dir, with_html=False)
+    half1 = pages.filter(F.length("url") % 2 == 0)
+    half2 = pages.filter(F.length("url") % 2 == 1)
+    os.makedirs(src, exist_ok=True)
+    half1.write.mode("append").parquet(src)
+
+    out1 = _run_stream(spark, src, ckpt, str(tmp_path / "out1"))
+    got1 = {r["cell_pfx"]: r["n_pages"]
+            for r in out1.orderBy("n_pages").collect()}
+    assert sum(got1.values()) == half1.count()
+
+    # second tranche lands; a NEW run resumes from checkpointed state
+    half2.write.mode("append").parquet(src)
+    out2 = _run_stream(spark, src, ckpt, str(tmp_path / "out2"))
+    # memory sink of run 2 holds only batch-2 updates, but the values
+    # are CUMULATIVE thanks to the keyed state
+    expected = (
+        synth.geocode(pages)
+        .groupBy(F.substring("cell_id", 1, 2).alias("cell_pfx"))
+        .agg(F.count(F.lit(1)).alias("n"), )
+    )
+    exp = {r["cell_pfx"]: r["n"] for r in expected.collect()}
+    got2 = {r["cell_pfx"]: r["n_pages"] for r in out2.collect()}
+    assert got2  # batch 2 touched cells
+    for cell, n in got2.items():
+        assert n == exp[cell], cell
+    # byte totals match the batch source of truth
+    exp_bytes = (
+        synth.geocode(pages)
+        .groupBy(F.substring("cell_id", 1, 2).alias("cell_pfx"))
+        .agg(F.sum(F.length("text")).alias("b")))
+    expb = {r["cell_pfx"]: r["b"] for r in exp_bytes.collect()}
+    got2b = {r["cell_pfx"]: r["n_bytes"] for r in out2.collect()}
+    for cell, b in got2b.items():
+        assert b == expb[cell], cell
