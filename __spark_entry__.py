@@ -542,6 +542,34 @@ def q_palette_join(spark, sf_dir):
     )
 
 
+def q_distinct_stats(spark, sf_dir):
+    """Distinct aggregates per site: exact countDistinct (oracle) plus
+    demonstrating multi-distinct in one pass."""
+    g = _geocoded(spark, sf_dir).withColumn(
+        "site", F.expr("regexp_extract(url, 'https://([^/]+)/', 1)"))
+    return g.groupBy("lang").agg(
+        F.countDistinct("site").alias("n_sites"),
+        F.countDistinct(F.substring("cell_id", 1, 4)).alias("n_cells4"),
+        F.count(F.lit(1)).alias("n_pages"),
+    )
+
+
+def q_rollup_counts(spark, sf_dir):
+    """ROLLUP over (lang, kind): hierarchical subtotals — the grouping-
+    sets shape of the tile pyramid, in SQL form."""
+    g = _geocoded(spark, sf_dir).withColumn(
+        "kind", F.expr("regexp_extract(text, 'kind ([a-z]+)', 1)"))
+    return (
+        g.rollup("lang", "kind")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("kind", F.lit("<all>")).alias("kind"),
+            "n_pages",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count": q_pip_count,
@@ -588,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_cell_counts": q_salted_cell_counts,
         "url_parsing": q_url_parsing,
         "palette_join": q_palette_join,
+        "distinct_stats": q_distinct_stats,
+        "rollup_counts": q_rollup_counts,
     }
 
 
@@ -930,6 +960,25 @@ FROM parsed"""
         " FROM rv)\n"
         f"SELECT case {cases} else '{PALETTE[0]}' end AS hexcolor,"
         " count(*) AS n_px FROM rv CROSS JOIN stats GROUP BY 1"
+    )
+    sql["distinct_stats"] = _with_geo(
+        "",
+        "SELECT lang,"
+        " count(DISTINCT regexp_extract(url, 'https://([^/]+)/', 1))"
+        "   AS n_sites,"
+        " count(DISTINCT substring(cell_id, 1, 4)) AS n_cells4,"
+        " count(*) AS n_pages"
+        " FROM geocoded GROUP BY lang",
+    )
+    sql["rollup_counts"] = _with_geo(
+        """
+k AS (
+  SELECT lang, regexp_extract(text, 'kind ([a-z]+)', 1) AS kind
+  FROM geocoded
+)""",
+        "SELECT coalesce(lang, '<all>') AS lang,"
+        " coalesce(kind, '<all>') AS kind, count(*) AS n_pages"
+        " FROM k GROUP BY ROLLUP (lang, kind)",
     )
     return sql
 
