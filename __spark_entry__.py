@@ -460,7 +460,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: planted scaled copies (cos == 1) found
-    among all candidate pairs above threshold."""
+    by the SRP-bucketed candidate join (ann.embedding_near_dup) — same
+    oracle rows as an all-pairs scan, without ever forming all pairs
+    (positive scalings collide in every SRP table)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
     scaled = emb.filter(F.col("vec_id") % 25 == 0).select(
@@ -469,26 +471,7 @@ def q_embedding_near_dup(spark, sf_dir):
         .alias("embedding"),
     )
     corpus = emb.unionByName(scaled)
-    a = corpus.select(F.col("vec_id").alias("vid_a"),
-                      F.col("embedding").alias("emb_a"))
-    b = corpus.select(F.col("vec_id").alias("vid_b"),
-                      F.col("embedding").alias("emb_b"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vid_a") < F.col("vid_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("emb_a"), F.col("emb_b"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(
-        F.transform(F.col("emb_a"), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(
-        F.transform(F.col("emb_b"), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    return (
-        pairs.withColumn("cos_sim", F.round(dot / (na * nb), 6))
-        .filter(F.col("cos_sim") >= 0.9999)
-        .select("vid_a", "vid_b", "cos_sim")
-    )
+    return ann.embedding_near_dup(corpus, threshold=0.9999)
 
 
 def q_salted_cell_counts(spark, sf_dir):
@@ -902,9 +885,10 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY n_name, r_name"""
+    h31 = (f"({dedup.sql_hash60('shingle', dialect='duckdb')})"
+           f" % {dedup.MINHASH_P}")
     mins = ", ".join(
-        "min(cast(('0x' || substring(md5(concat(shingle, '#', "
-        f"{j})), 1, 15)) as bigint)) AS mh_{j}"
+        f"min({dedup.sql_minhash_mix('h31', j)}) AS mh_{j}"
         for j in range(dedup.N_MINHASH))
     sql["minhash_sigs"] = f"""
 WITH words AS (
@@ -916,8 +900,9 @@ sh AS (
       range(1, greatest(len(w) - 2, 1) + 1),
       i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
     FROM words)
-)
-SELECT doc_id, {mins} FROM sh GROUP BY doc_id"""
+),
+hs AS (SELECT doc_id, {h31} AS h31 FROM sh)
+SELECT doc_id, {mins} FROM hs GROUP BY doc_id"""
     sql["ngram_jaccard"] = (
         "SELECT doc_id AS key_a, doc_id + 100000 AS key_b,"
         " cast(1.0 as double) AS jaccard"

@@ -121,32 +121,39 @@ def run_flagship(master: str, pages_path: str,
     return n / dt, n
 
 
-def measure_scaling(pages_path: str, deadline_s: float) -> dict:
+def measure_scaling(pages_path: str, deadline_s: float,
+                    max_attempts: int = 3) -> dict:
     """local[8] vs local[32] flagship throughput.
 
-    The host is multi-tenant: a single contended window can invert the
-    result, so when the measured efficiency looks contaminated (< 0.75)
-    and time remains, re-attempt both sessions and keep the per-master
-    BEST throughput — external noise only ever slows a run down, so the
-    max across attempts estimates the true job cost.
+    The host is multi-tenant: external noise only ever slows a run down,
+    so the MAX per-master throughput across attempts estimates the true
+    job cost. The stopping rule is independent of the reported
+    efficiency (no bias toward the gate): stop when the latest attempt
+    improved neither per-master max by >3% (the max estimator has
+    converged), on the attempt cap, or on the wall-clock deadline.
     """
     best8 = best32 = 0.0
     n_pages = 0
+    attempts = 0
     t_start = time.perf_counter()
-    for attempt in range(3):
+    for attempt in range(max_attempts):
         pps8, n_pages = run_flagship("local[8]", pages_path, n_timed=2)
         # local[32] runs are ~4x cheaper AND the ones contention hurts
         # (they need all cores free) — sample them more
         pps32, _ = run_flagship("local[32]", pages_path, n_timed=5)
+        prev8, prev32 = best8, best32
         best8 = max(best8, pps8)
         best32 = max(best32, pps32)
-        eff = (best32 / best8) / 4
-        if eff >= 0.8 or time.perf_counter() - t_start > deadline_s:
+        attempts = attempt + 1
+        converged = (attempt > 0 and best8 <= prev8 * 1.03
+                     and best32 <= prev32 * 1.03)
+        if converged or time.perf_counter() - t_start > deadline_s:
             break
     return {
         "local[8]_pages_per_sec": round(best8, 1),
         "local[32]_pages_per_sec": round(best32, 1),
         "efficiency": round((best32 / best8) / 4, 3),
+        "n_attempts": attempts,
         "n_pages": n_pages,
     }
 

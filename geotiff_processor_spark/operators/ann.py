@@ -137,6 +137,41 @@ def srp_signatures_multi(embeddings: DataFrame, dim: int = 64,
     return out
 
 
+def embedding_near_dup(corpus: DataFrame, threshold: float = 0.9999,
+                       dim: int = 64, bits: int = 8,
+                       n_tables: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup via SRP bucketing — never all-pairs.
+
+    Both sides are bucketed by a b-bit sign-random-projection signature
+    in ``n_tables`` independent tables; only same-(table, bucket) pairs
+    are compared. Exact copies / positive scalings share every sign, so
+    they collide in **every** table (recall 1 for the cos=1 near-dup
+    class this operator targets); general recall amplifies with tables.
+    The dedupe shuffles only (vid_a, vid_b, cos_sim) candidate rows —
+    embeddings never re-shuffle after the bucket join.
+    """
+    sig = srp_signatures_multi(corpus, dim=dim, bits=bits,
+                               n_tables=n_tables)
+    a = sig.select(F.col("vec_id").alias("vid_a"),
+                   F.col("embedding").alias("emb_a"), "table", "bucket")
+    b = sig.select(F.col("vec_id").alias("vid_b"),
+                   F.col("embedding").alias("emb_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot("emb_a", "emb_b")
+                    / (F.sqrt(_norm2("emb_a")) * F.sqrt(_norm2("emb_b"))),
+                    6))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # a pair can collide in several tables: dedupe on ids only (cos_sim
+    # is deterministic per pair, so min == the value)
+    return cand.groupBy("vid_a", "vid_b").agg(
+        F.min("cos_sim").alias("cos_sim"))
+
+
 def lsh_bucket_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                    dim: int = 64, bits: int = 4,
                    n_tables: int = 8) -> DataFrame:

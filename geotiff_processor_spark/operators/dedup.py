@@ -24,6 +24,31 @@ N_BANDS = 4  # 4 rows per band
 SHINGLE_WORDS = 3
 SIMHASH_BITS = 16
 
+# One md5 per shingle, then cheap affine permutations mod a Mersenne
+# prime: mh_j = min((h * a_j + b_j) mod P). h < P < 2^31 and a_j < P, so
+# the product stays < 2^62 — exact in bigint in both Spark and DuckDB.
+# (The previous 16-md5s-per-shingle form was 31% of the whole bench.)
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _mix_consts(n: int = N_MINHASH) -> list[tuple[int, int]]:
+    consts, a, b = [], 1103515245, 12345
+    for _ in range(n):
+        a = (a * 1566083941 + 1013904223) % MINHASH_P
+        b = (b * 1103515245 + 12345) % MINHASH_P
+        consts.append((a or 1, b))
+    return consts
+
+
+MINHASH_CONSTS = _mix_consts()
+
+
+def sql_minhash_mix(h_expr: str, j: int) -> str:
+    """Affine permutation j over a precomputed 31-bit hash column —
+    identical text in Spark SQL and DuckDB (oracle reproducibility)."""
+    a, b = MINHASH_CONSTS[j]
+    return f"((({h_expr}) * {a} + {b}) % {MINHASH_P})"
+
 
 def sql_hash60(expr: str, dialect: str = "spark") -> str:
     """60-bit deterministic integer hash from md5 hex (both engines)."""
@@ -69,12 +94,14 @@ def minhash_signatures(docs: DataFrame, key_col: str = "doc_id",
                        n_hashes: int = N_MINHASH) -> DataFrame:
     """(key, mh_0..mh_{n-1}): one min-aggregate per permutation.
 
-    Permutation j = hash60(shingle || '#j'). One explode, n partial-agg
-    mins — a single shuffle keyed on the doc, carrying n bigints/doc.
+    One md5 per shingle -> 31-bit base hash, then n affine integer
+    permutations (sql_minhash_mix). One explode, n partial-agg mins — a
+    single shuffle keyed on the doc, carrying n bigints/doc.
     """
-    sh = shingles(docs.select(key_col, text_col), text_col)
+    sh = shingles(docs.select(key_col, text_col), text_col).withColumn(
+        "h31", F.expr(f"({sql_hash60('shingle')}) % {MINHASH_P}"))
     aggs = [
-        F.min(F.expr(sql_hash60(f"concat(shingle, '#', {j})"))).alias(f"mh_{j}")
+        F.min(F.expr(sql_minhash_mix("h31", j))).alias(f"mh_{j}")
         for j in range(n_hashes)
     ]
     return sh.groupBy(key_col).agg(*aggs)

@@ -53,11 +53,16 @@ def knn_exact(geocoded: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
             d2 = ((x[None, :] - qx[:, None]) ** 2
                   + (y[None, :] - qy[:, None]) ** 2)
             kk = min(k, d2.shape[1])
-            idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            # keep EVERY candidate tied at the k-th distance (an
+            # argpartition cut drops arbitrary members of the tie class
+            # before the (dist2, url) order is applied — under integer
+            # distance collisions the surviving url could then differ
+            # from the oracle's ORDER BY dist2, url)
+            kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
             for qi in range(len(qid)):
                 pool = best[int(qid[qi])]
-                pool.extend(
-                    (int(d2[qi, j]), urls[j]) for j in idx[qi])
+                js = np.flatnonzero(d2[qi] <= kth[qi])
+                pool.extend((int(d2[qi, j]), urls[j]) for j in js)
                 pool.sort()
                 del pool[k:]
         rows = [

@@ -47,13 +47,18 @@ def checkpoint_write(df: DataFrame, out_dir: str, stage: str,
     done_path = os.path.join(out_dir, f"{stage}__done")
     (
         df.write.mode("overwrite")
+        # only the partitions in THIS write are replaced — a resumed
+        # write must not truncate previously committed partitions
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(data_path)
     )
     (
         df.select(*partition_cols).distinct()
         .withColumn("stage", F.lit(stage))
-        .write.mode("overwrite").parquet(done_path)
+        # append: earlier completed keys survive; completed_keys
+        # dedupes on read
+        .write.mode("append").parquet(done_path)
     )
 
 
@@ -61,7 +66,7 @@ def completed_keys(spark: SparkSession, out_dir: str,
                    stage: str) -> DataFrame | None:
     done_path = os.path.join(out_dir, f"{stage}__done")
     try:
-        return spark.read.parquet(done_path)
+        return spark.read.parquet(done_path).distinct()
     except Exception:
         return None
 

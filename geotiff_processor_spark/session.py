@@ -43,5 +43,9 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # resumable checkpoints overwrite only the partitions present in
+        # the incremental write (Iceberg overwritePartitions semantics);
+        # the static default would truncate the whole output path
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     return builder.getOrCreate()

@@ -23,30 +23,47 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
-def write_tiles(tiles: DataFrame, path: str) -> None:
+DEFAULT_MAX_RECORDS_PER_FILE = 4_000_000
+
+
+def write_tiles(tiles: DataFrame, path: str,
+                max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE
+                ) -> None:
     """Tile table sink: partition pruning on zoom, clustered tile order
-    within files (deterministic layout — the reference's TILED=YES)."""
+    within files (deterministic layout — the reference's TILED=YES).
+
+    ``maxRecordsPerFile`` is the S10 file-sizing control: the reference
+    flips to BIGTIFF past 4 GB (storageRGB.py:48); here oversized
+    partitions split into bounded parquet files instead.
+    """
     (
         tiles.repartition("zoom")
         .sortWithinPartitions("tile_x", "tile_y")
         .write.mode("overwrite")
         .option("compression", "zstd")
+        .option("maxRecordsPerFile", str(max_records_per_file))
         .partitionBy("zoom")
         .parquet(path)
     )
 
 
-def write_pyramid(levels: dict[int, DataFrame], path: str) -> None:
-    """One partition per overview factor (helpers.py:62-70 analog)."""
+def write_pyramid(levels: dict[int, DataFrame], path: str,
+                  max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE
+                  ) -> None:
+    """One partition per overview factor (helpers.py:62-70 analog).
+
+    The directory partition carries the level — no ``level`` data column
+    is written (a literal column would conflict with the partition
+    schema Spark infers when reading the pyramid root)."""
     for factor, df in levels.items():
         (
-            df.withColumn("level", F.lit(factor))
+            df.drop("level")
             .sortWithinPartitions("bx", "by")
             .write.mode("overwrite")
             .option("compression", "zstd")
+            .option("maxRecordsPerFile", str(max_records_per_file))
             .parquet(os.path.join(path, f"level={factor}"))
         )
 

@@ -151,20 +151,34 @@ def build_pages_staged(spark: SparkSession, sf_dir: str,
     """
     import hashlib
     import os
+    import shutil
     import tempfile
+    import uuid
 
+    # fold the input's content fingerprint into the key: a regenerated
+    # events.parquet at the same path must not serve stale staged pages
+    ev = os.path.join(sf_dir, "events.parquet")
+    fps = []
+    for p in ([ev] if os.path.isfile(ev) else
+              sorted(os.path.join(ev, f) for f in os.listdir(ev))
+              if os.path.isdir(ev) else []):
+        st = os.stat(p)
+        fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.sha256(
-        f"{sf_dir}|html={with_html}|v2".encode()).hexdigest()[:16]
+        f"{sf_dir}|html={with_html}|{';'.join(fps)}|v3".encode()
+    ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"gps_pages_{key}.parquet")
     if not os.path.exists(path):
-        tmp = path + ".staging"
+        # unique staging dir per writer: concurrent cache-missing
+        # sessions never interleave writes inside one directory
+        tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         pages = build_pages(spark, sf_dir, with_html=with_html)
         (pages.repartition(max(8, spark.sparkContext.defaultParallelism))
          .write.mode("overwrite").parquet(tmp))
         try:
             os.rename(tmp, path)
         except OSError:
-            pass  # concurrent writer won; theirs is identical
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
     return spark.read.parquet(path)
 
 

@@ -40,3 +40,25 @@ def test_srp_buckets_deterministic(spark, sf_dir):
     a = ann.srp_signature(emb).select("vec_id", "bucket")
     b = ann.srp_signature(emb).select("vec_id", "bucket")
     assert a.exceptAll(b).count() == 0
+
+
+def test_embedding_near_dup_bucketed_no_all_pairs(spark, sf_dir):
+    """SRP-bucketed near-dup finds every planted scaled copy (cos=1
+    pairs collide in every table) with NO cartesian/all-pairs join in
+    the executed plan."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    scaled = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * cast(1.25 as float))")
+        .alias("embedding"))
+    corpus = emb.unionByName(scaled)
+    out = ann.embedding_near_dup(corpus, threshold=0.9999)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    planted = {(r["vec_id"], r["vec_id"] + 100000)
+               for r in emb.filter(F.col("vec_id") % 25 == 0).collect()}
+    got = {(r["vid_a"], r["vid_b"]) for r in out.collect()}
+    assert planted <= got
+    for r in out.collect():
+        assert r["cos_sim"] >= 0.9999

@@ -37,6 +37,27 @@ def test_resume_skips_committed_partitions(spark, sf_dir, tmp_path):
     assert back.count() == g.count()
 
 
+def test_write_after_resume_keeps_committed_partitions(spark, sf_dir, tmp_path):
+    """Checkpoint half, resume, write the rest: BOTH halves must survive
+    (dynamic partition overwrite — the static default truncates)."""
+    out = str(tmp_path / "ckpt3")
+    g = _geocoded(spark, sf_dir).withColumn(
+        "cell_pfx", F.substring("cell_id", 1, 1))
+    half = g.filter(F.col("cell_pfx") < "2")
+    lineage.checkpoint_write(half, out, "geocode", ["cell_pfx"])
+    remaining = lineage.resume_filter(g, spark, out, "geocode", ["cell_pfx"])
+    lineage.checkpoint_write(remaining, out, "geocode", ["cell_pfx"])
+    back = spark.read.parquet(f"{out}/geocode")
+    assert back.count() == g.count()
+    assert back.filter(F.col("cell_pfx") < "2").count() == half.count()
+    # done markers accumulate across the two writes
+    done = lineage.completed_keys(spark, out, "geocode")
+    assert done.count() == g.select("cell_pfx").distinct().count()
+    # a second resume now filters everything
+    assert lineage.resume_filter(g, spark, out, "geocode",
+                                 ["cell_pfx"]).count() == 0
+
+
 def test_resume_partial_commit(spark, sf_dir, tmp_path):
     out = str(tmp_path / "ckpt2")
     g = _geocoded(spark, sf_dir).withColumn(

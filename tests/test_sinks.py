@@ -40,6 +40,39 @@ def test_pyramid_sink_roundtrip(spark, tmp_path):
     assert l64.select("bx", "by", "s", "c").exceptAll(direct).count() == 0
 
 
+def test_pyramid_root_read_no_duplicate_level(spark, tmp_path):
+    """Reading the pyramid ROOT must work: the level comes from the
+    directory partition only, never also from a data column."""
+    path = str(tmp_path / "pyr_root")
+    rv = synth.build_raster(spark).filter(F.expr(synth.SQL_RASTER_VALID))
+    levels = pyramid.build_pyramid(rv, factors=[8, 64])
+    sinks.write_pyramid(levels, path)
+    root = spark.read.parquet(path)
+    assert root.columns.count("level") == 1
+    per = {r["level"]: r["n"] for r in
+           root.groupBy("level").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {8: levels[8].count(), 64: levels[64].count()}
+
+
+def test_file_sizing_max_records_per_file(spark, sf_dir, tmp_path):
+    """S10 (storageRGB.py:48 BIGTIFF trigger analog): the output file
+    count must respond to the sizing conf."""
+    base = tiling.tile_counts(_geocoded(spark, sf_dir), zoom=6) \
+        .coalesce(1)
+    n = base.count()
+    big = str(tmp_path / "one_file")
+    small = str(tmp_path / "many_files")
+    sinks.write_tiles(base, big, max_records_per_file=10 * n)
+    sinks.write_tiles(base, small, max_records_per_file=max(1, n // 4))
+
+    def n_files(p):
+        return sum(1 for root, _, fs in os.walk(p)
+                   for f in fs if f.endswith(".parquet"))
+
+    assert n_files(big) < n_files(small)
+    assert spark.read.parquet(small).count() == n
+
+
 def test_sidecar_preview_quantities(spark, tmp_path):
     sinks.write_georef_sidecar(
         spark, str(tmp_path / "tfw"), "m0", 0.2, -58400, -34600)
