@@ -248,12 +248,21 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(docs)
 
 
-def q_pip_raycast(spark, sf_dir):  # rows-only: pandas-UDF ray cast path
-    polys = [
-        {"polygon_id": pid, "xs": [a, c, c, a], "ys": [b, b, d, d]}
-        for pid, zone, a, b, c, d in synth.polygon_rows()
-    ]
-    return pip.pip_join_raycast(_geocoded(spark, sf_dir), polys)
+def q_pip_general(spark, sf_dir):
+    """Fused general-polygon PIP (J5 complete): broadcast cell-cover
+    prefilter + exact integer ray-cast as a native CASE predicate — one
+    codegen stage, no pages shuffle, concave polygons included."""
+    return pip.pip_join_general(
+        _geocoded(spark, sf_dir), synth.general_polygon_rows()
+    ).select("url", "polygon_id", "zone")
+
+
+def q_pip_raycast(spark, sf_dir):
+    """Arrow-kernel ray-cast path over the same general polygons — same
+    cover prefilter, exact verify in mapInPandas (the large-polygon-set
+    variant). Oracle-checked: the integer rule reproduces in DuckDB."""
+    return pip.pip_join_raycast(
+        _geocoded(spark, sf_dir), synth.general_polygon_rows())
 
 
 def q_nodata_normalize(spark, sf_dir):
@@ -577,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "pip_general": q_pip_general,
         "pip_raycast": q_pip_raycast,
         "nodata_normalize": q_nodata_normalize,
         "vendor_dates": q_vendor_dates,
@@ -785,6 +795,21 @@ ranked AS (
 SELECT query_vec_id, vec_id, cast(rnk as bigint) AS rank, cos_sim
 FROM ranked WHERE rnk <= 10"""
     sql["simhash"] = _simhash_oracle()
+    gp_selects = [
+        f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"
+        f" '{p['zone']}' AS zone FROM geocoded WHERE "
+        + pip.sql_point_in_ring("lonm", "latm", p["xs"], p["ys"])
+        for p in synth.general_polygon_rows()
+    ]
+    sql["pip_general"] = _with_geo("", "\nUNION ALL\n".join(gp_selects))
+    sql["pip_raycast"] = _with_geo(
+        "",
+        "\nUNION ALL\n".join(
+            f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id"
+            " FROM geocoded WHERE "
+            + pip.sql_point_in_ring("lonm", "latm", p["xs"], p["ys"])
+            for p in synth.general_polygon_rows()),
+    )
     sql["nodata_normalize"] = (
         raster
         + "\nSELECT px, py,"

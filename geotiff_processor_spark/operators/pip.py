@@ -75,58 +75,140 @@ def pip_join(geocoded: DataFrame, cover: DataFrame,
 
 
 # ---------------------------------------------------------------------------
-# general-polygon path: Arrow pandas-UDF vectorized ray casting
+# general (possibly concave) polygons: ONE exact integer ray-cast rule,
+# emitted three ways from the same formula — native SQL CASE (fused fast
+# path + DuckDB oracle) and a numpy kernel (large-polygon-set path) — so
+# the engines agree bit-for-bit, boundary points included.
+#
+# Rule (ray to +x): edge (x1,y1)->(x2,y2) crosses iff
+#   (y1 <= y) != (y2 <= y)                      [half-open: no double-count]
+# and the crossing lies strictly right of the point:
+#   t = (x1 - x)*(y2 - y1) + (y - y1)*(x2 - x1)  [= (xcross - x)*(y2 - y1)]
+#   count iff t > 0 when y2 > y1 else t < 0      [exact bigint, no division]
+# inside = odd crossing count. Reference semantics: gdal.Polygonize /
+# ogr geometry containment (/root/reference/export_formats/outlines.py:48-99),
+# inverted points->polygons per BASELINE.json north_star.
 # ---------------------------------------------------------------------------
+
+def sql_point_in_ring(lonm: str, latm: str,
+                      xs: list[int], ys: list[int]) -> str:
+    """Boolean SQL expression: point strictly inside the integer-vertex
+    ring by the exact ray-cast rule above. Valid in Spark SQL and DuckDB
+    (pure bigint arithmetic — the differential-oracle contract)."""
+    n = len(xs)
+    terms = []
+    for i in range(n):
+        x1, y1 = int(xs[i]), int(ys[i])
+        x2, y2 = int(xs[(i + 1) % n]), int(ys[(i + 1) % n])
+        if y1 == y2:
+            continue  # horizontal edges never cross the +x ray rule
+        t = (f"(({x1} - ({lonm})) * {y2 - y1}"
+             f" + (({latm}) - {y1}) * {x2 - x1})")
+        op = ">" if y2 > y1 else "<"
+        terms.append(
+            f"(case when (({y1} <= ({latm})) <> ({y2} <= ({latm})))"
+            f" and {t} {op} 0 then 1 else 0 end)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _np_point_in_ring(x: np.ndarray, y: np.ndarray,
+                      xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized numpy form of sql_point_in_ring — same integer rule."""
+    inside = np.zeros(len(x), dtype=bool)
+    n = len(xs)
+    for i in range(n):
+        x1, y1 = int(xs[i]), int(ys[i])
+        x2, y2 = int(xs[(i + 1) % n]), int(ys[(i + 1) % n])
+        if y1 == y2:
+            continue
+        cond = (y1 <= y) != (y2 <= y)
+        t = (x1 - x) * (y2 - y1) + (y - y1) * (x2 - x1)
+        cnt = (t > 0) if y2 > y1 else (t < 0)
+        inside ^= cond & cnt
+    return inside
+
+
+def build_cover_table_polys(spark: SparkSession, polygons: list[dict],
+                            level: int = DEFAULT_COVER_LEVEL) -> DataFrame:
+    """(cell_key, polygon_id, zone) cover rows from general-polygon
+    bboxes (driver-side — the polygon side is the broadcast dimension).
+    +1 on the max edges: the ray-cast rule can include max-boundary
+    points, and the cover must stay a superset of the exact hits."""
+    cover = []
+    for p in polygons:
+        xs, ys = p["xs"], p["ys"]
+        zone = p.get("zone", "general")
+        for cell in cell_range_for_bbox(min(xs), min(ys),
+                                        max(xs) + 1, max(ys) + 1, level):
+            cover.append((cell_key_for_quadkey(cell),
+                          int(p["polygon_id"]), zone))
+    df = spark.createDataFrame(cover, schema=["cell_key", "polygon_id", "zone"])
+    return df.select(F.col("cell_key").cast("bigint"),
+                     F.col("polygon_id").cast("bigint"), F.col("zone"))
+
+
+def pip_join_general(geocoded: DataFrame, polygons: list[dict],
+                     level: int = DEFAULT_COVER_LEVEL) -> DataFrame:
+    """Fused PIP join for arbitrary integer-vertex polygons.
+
+    Same single-shuffle-free shape as ``pip_join``: broadcast cell-cover
+    equi-join prefilter, then the exact ray-cast as a native CASE
+    predicate dispatched on polygon_id — all whole-stage codegen, no
+    Python. Scales to 100 TB pages with a bounded broadcast polygon set;
+    for huge polygon layers use ``pip_join_raycast`` (same rule, Arrow
+    kernel)."""
+    spark = geocoded.sparkSession
+    cover = build_cover_table_polys(spark, polygons, level)
+    pages_k = geocoded.withColumn(
+        "cell_key", F.expr(sql_cell_key("lonm", "latm", level)))
+    joined = pages_k.join(F.broadcast(cover), "cell_key")
+    whens = " ".join(
+        f"when {int(p['polygon_id'])} then"
+        f" {sql_point_in_ring('lonm', 'latm', p['xs'], p['ys'])}"
+        for p in polygons)
+    exact = joined.filter(
+        F.expr(f"case polygon_id {whens} else false end"))
+    return exact.drop("cell_key")
+
 
 def pip_join_raycast(geocoded: DataFrame, polygons: list[dict],
                      level: int = DEFAULT_COVER_LEVEL) -> DataFrame:
-    """PIP join for arbitrary (possibly concave) polygons.
-
-    ``polygons``: list of {polygon_id, xs: [lonm...], ys: [latm...]}
-    closed rings (first!=last fine; ring closure implied). The polygon
-    set is captured in the UDF closure => shipped once per executor
-    (broadcast-equivalent). Probing is numpy-vectorized ray casting —
-    no per-row Python (input_hint mandate).
-
-    Emits (url, polygon_id) candidate-verified pairs via mapInPandas
-    (1:N — a UDTF-shaped operator, SURVEY.md §2.10).
+    """PIP join for large sets of arbitrary polygons: the SAME cell-cover
+    broadcast prefilter as the fused path, then the exact integer
+    ray-cast as an Arrow ``mapInPandas`` kernel over (page, candidate
+    polygon) rows only — never the full pages x polygons product.
+    Vectorized across the candidate rows of each polygon per batch; no
+    per-row Python (input_hint mandate). Differential-tested equal to
+    ``pip_join_general`` (same rule).
     """
-    poly_data = [
-        (int(p["polygon_id"]),
-         np.asarray(p["xs"], dtype=np.float64),
-         np.asarray(p["ys"], dtype=np.float64))
+    spark = geocoded.sparkSession
+    cover = build_cover_table_polys(spark, polygons, level)
+    poly_data = {
+        int(p["polygon_id"]): (np.asarray(p["xs"], dtype=np.int64),
+                               np.asarray(p["ys"], dtype=np.int64))
         for p in polygons
-    ]
+    }
+    pages_k = geocoded.select("url", "lonm", "latm").withColumn(
+        "cell_key", F.expr(sql_cell_key("lonm", "latm", level)))
+    cand = pages_k.join(F.broadcast(cover), "cell_key") \
+        .select("url", "lonm", "latm", "polygon_id")
 
     out_schema = "url string, polygon_id bigint"
 
-    def probe(batches):
+    def verify(batches):
         for pdf in batches:
-            x = pdf["lonm"].to_numpy(np.float64)
-            y = pdf["latm"].to_numpy(np.float64)
+            x = pdf["lonm"].to_numpy(np.int64)
+            y = pdf["latm"].to_numpy(np.int64)
+            pids = pdf["polygon_id"].to_numpy(np.int64)
             urls = pdf["url"].to_numpy(object)
-            hits_url, hits_pid = [], []
-            for pid, xs, ys in poly_data:
-                # bbox prefilter (vectorized)
-                m = ((x >= xs.min()) & (x < xs.max())
-                     & (y >= ys.min()) & (y < ys.max()))
-                if not m.any():
-                    continue
-                xi, yi = x[m], y[m]
-                inside = np.zeros(len(xi), dtype=bool)
-                n = len(xs)
-                for k in range(n):
-                    x1, y1 = xs[k], ys[k]
-                    x2, y2 = xs[(k + 1) % n], ys[(k + 1) % n]
-                    cond = ((y1 <= yi) != (y2 <= yi))
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        xcross = x1 + (yi - y1) * (x2 - x1) / (y2 - y1)
-                    inside ^= cond & (xi < xcross)
-                sel = np.flatnonzero(m)[inside]
-                hits_url.extend(urls[sel])
-                hits_pid.extend([pid] * len(sel))
-            yield pd.DataFrame({"url": hits_url,
-                                "polygon_id": pd.Series(hits_pid, dtype="int64")})
+            keep = np.zeros(len(x), dtype=bool)
+            for pid in np.unique(pids):
+                xs, ys = poly_data[int(pid)]
+                m = pids == pid
+                keep[m] = _np_point_in_ring(x[m], y[m], xs, ys)
+            yield pd.DataFrame({
+                "url": urls[keep],
+                "polygon_id": pd.Series(pids[keep], dtype="int64"),
+            })
 
-    return geocoded.select("url", "lonm", "latm").mapInPandas(
-        probe, schema=out_schema)
+    return cand.mapInPandas(verify, schema=out_schema)

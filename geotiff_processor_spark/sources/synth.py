@@ -287,6 +287,23 @@ SQL_PIP_PREDICATE = (
 )
 
 
+def general_polygon_rows() -> list[dict]:
+    """Non-rectilinear polygon layer for the general PIP path: a large
+    triangle, a concave arrow (ray-cast parity genuinely exercised) and
+    a small triangle inside the Paris hot box (skew path). Integer
+    vertices; membership is the exact ray-cast rule of
+    ``pip.sql_point_in_ring`` (identical in Spark and the oracle)."""
+    return [
+        {"polygon_id": 200, "zone": "tri",
+         "xs": [-100000, -40001, -70003], "ys": [-50000, -49999, 10007]},
+        {"polygon_id": 201, "zone": "arrow",  # concave notch at (50000, 0)
+         "xs": [20000, 80000, 50000, 80001, 20001],
+         "ys": [-30000, -30001, 0, 29999, 30000]},
+        {"polygon_id": 202, "zone": "hot_tri",  # inside the Paris hot box
+         "xs": [2300, 2400, 2351], "ys": [48800, 48801, 48900]},
+    ]
+
+
 # ---------------------------------------------------------------------------
 # raster-as-table (FIXTURES.md F3)
 # ---------------------------------------------------------------------------

@@ -59,3 +59,54 @@ def test_pip_plan_is_broadcast(spark, sf_dir):
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_general_pip_fused_plan_no_pages_shuffle(spark, sf_dir):
+    """pip_join_general: broadcast join + native predicate — no shuffle
+    of the pages side, no Python eval node, whole-stage codegen."""
+    g = _geocoded(spark, sf_dir)
+    out = pip.pip_join_general(g, synth.general_polygon_rows())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only Exchange allowed is the broadcast of the tiny cover table
+    import re
+    exchanges = re.findall(r"(\w*Exchange\w*)", plan)
+    assert all("Broadcast" in e for e in exchanges), exchanges
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+
+
+def test_general_pip_raycast_matches_fused(spark, sf_dir):
+    """The Arrow-kernel path and the native fused path implement the
+    SAME integer ray-cast rule — outputs must be identical."""
+    g = _geocoded(spark, sf_dir)
+    polys = synth.general_polygon_rows()
+    fused = pip.pip_join_general(g, polys).select("url", "polygon_id")
+    arrow = pip.pip_join_raycast(g, polys).select("url", "polygon_id")
+    assert fused.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(fused).count() == 0
+
+
+def test_concave_polygon_notch_excluded(spark):
+    """Hand-checked concavity: points in the arrow's notch are outside,
+    points in its body inside — both paths agree with geometry."""
+    arrow = [p for p in synth.general_polygon_rows()
+             if p["zone"] == "arrow"]
+    # (70000, 0) sits in the notch (outside); (30000, 0) in the body
+    rows = [("in_body", 30000, 0), ("in_notch", 70000, 0),
+            ("outside", 150000, 0), ("near_top", 30000, 29000)]
+    df = spark.createDataFrame(rows, ["url", "lonm", "latm"]).select(
+        "url", F.col("lonm").cast("bigint"), F.col("latm").cast("bigint"))
+    got = {r["url"] for r in pip.pip_join_general(df, arrow).collect()}
+    assert got == {"in_body", "near_top"}
+    got_rc = {r["url"] for r in pip.pip_join_raycast(df, arrow).collect()}
+    assert got_rc == {"in_body", "near_top"}
+
+
+def test_hot_triangle_catches_hot_pages(spark, sf_dir):
+    """The Paris hot triangle must match some skewed hot-city pages
+    (cover prefilter works at hot-cell density)."""
+    g = _geocoded(spark, sf_dir)
+    out = pip.pip_join_general(g, synth.general_polygon_rows())
+    assert out.filter(F.col("zone") == "hot_tri").count() > 0
