@@ -534,6 +534,41 @@ def q_palette_join(spark, sf_dir):
     )
 
 
+def q_adaptive_gsd(spark, sf_dir):
+    """A9 stat-then-branch (geoserverRGB.py:15-16): collect the tiny
+    area stat, branch in the driver, build the resample plan with the
+    chosen factor as a literal. The deterministic raster is 0.26 ha
+    (< 150 ha trigger) => 10 cm GSD => factor 2; the oracle pins that
+    choice — a wrong branch changes the block grid and hash-fails."""
+    from geotiff_processor_spark.plans import adaptive
+    rv = _raster_valid(spark)
+    plan, gsd_cm, _factor = adaptive.adaptive_pyramid_level(
+        rv, gsd_m=0.2, base_gsd_cm=5)
+    return plan.select(
+        "map_id", "bx", "by", "s", "c",
+        F.lit(gsd_cm).cast("bigint").alias("gsd_cm"),
+        F.round("avg_val", 6).alias("avg_val"))
+
+
+def q_metadata_map(spark, sf_dir):
+    """MapType metadata column (process.py:222-228): static base dict
+    map_concat'd with per-row registroId/mapId, exploded to rows so the
+    oracle can compare values exactly."""
+    from geotiff_processor_spark.functions.parsing import metadata_map
+    p = synth.build_pages_staged(spark, sf_dir, with_html=False)
+    base = p.select(
+        "url",
+        F.expr("cast(floor(try_cast(regexp_extract(url, 'p/([0-9]+)$', 1)"
+               " as bigint) / 10) as bigint)").alias("registroid"),
+    ).withColumn(
+        "map_id",
+        F.expr("substring(sha2(cast(registroid as string), 256), 1, 12)"))
+    md = base.withColumn("metadata", metadata_map("registroid", "map_id"))
+    return md.select(
+        "url", F.explode("metadata")).select(
+        "url", F.col("key").alias("k"), F.col("value").alias("v"))
+
+
 def q_distinct_stats(spark, sf_dir):
     """Distinct aggregates per site: exact countDistinct (oracle) plus
     demonstrating multi-distinct in one pass."""
@@ -611,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "palette_join": q_palette_join,
         "distinct_stats": q_distinct_stats,
         "rollup_counts": q_rollup_counts,
+        "adaptive_gsd": q_adaptive_gsd,
+        "metadata_map": q_metadata_map,
     }
 
 
@@ -970,6 +1007,35 @@ FROM parsed"""
         " FROM rv)\n"
         f"SELECT case {cases} else '{PALETTE[0]}' end AS hexcolor,"
         " count(*) AS n_px FROM rv CROSS JOIN stats GROUP BY 1"
+    )
+    sql["adaptive_gsd"] = (
+        raster_valid
+        + """
+SELECT map_id, cast(floor(px / 2) as bigint) AS bx,
+  cast(floor(py / 2) as bigint) AS by,
+  cast(sum(elev_m) as bigint) AS s, count(*) AS c,
+  cast(10 as bigint) AS gsd_cm,
+  round(cast(sum(elev_m) as double) / cast(count(*) as double), 6) AS avg_val
+FROM rv GROUP BY 1, 2, 3"""
+    )
+    from geotiff_processor_spark.functions.parsing import BASE_METADATA
+    md_static = " UNION ALL ".join(
+        f"SELECT url, '{k}' AS k, '{v}' AS v FROM parsed"
+        for k, v in sorted(BASE_METADATA.items()))
+    sql["metadata_map"] = (
+        "WITH " + synth.pages_cte("duckdb") + """,
+parsed AS (
+  SELECT url,
+    cast(floor(try_cast(regexp_extract(url, 'p/([0-9]+)$', 1) as bigint)
+      / 10) as bigint) AS registroid
+  FROM pages
+)
+""" + md_static
+        + " UNION ALL SELECT url, 'registroId' AS k,"
+          " cast(registroid as varchar) AS v FROM parsed"
+        + " UNION ALL SELECT url, 'mapId' AS k,"
+          " substring(sha256(cast(registroid as varchar)), 1, 12) AS v"
+          " FROM parsed"
     )
     sql["distinct_stats"] = _with_geo(
         "",

@@ -79,3 +79,30 @@ def parse_vendor_date(col: str = "meta_date") -> Column:
     dd = F.try_to_timestamp(F.substring(c, 1, 19), F.lit("yyyy-MM-dd'T'HH:mm:ss"))
     p4 = F.try_to_timestamp(c, F.lit("yyyy:MM:dd HH:mm:ss"))
     return F.coalesce(dd, p4)
+
+
+# ---------------------------------------------------------------------------
+# extra-metadata dict column (process.py:222-228; params.py:31-33)
+# ---------------------------------------------------------------------------
+
+BASE_METADATA = {
+    # params.py:32 TIFFTAG_ARTIST analog, de-localized
+    "artist": "provincial-hydraulics",
+    "engine": "geotiff_processor_spark",
+}
+
+
+def metadata_map(registroid: Column | str = "registroid",
+                 map_id: Column | str = "map_id") -> Column:
+    """``map<string,string>`` metadata column: the static base dict
+    map_concat'd with per-row registroId/mapId entries — the reference
+    appends 'registroId={}' / 'mapId={}' to params.metadata before
+    attaching it to every output dataset (process.py:222-228)."""
+    rid = F.col(registroid) if isinstance(registroid, str) else registroid
+    mid = F.col(map_id) if isinstance(map_id, str) else map_id
+    base = F.create_map(
+        *[F.lit(x) for kv in sorted(BASE_METADATA.items()) for x in kv])
+    per_row = F.create_map(
+        F.lit("registroId"), rid.cast("string"),
+        F.lit("mapId"), mid.cast("string"))
+    return F.map_concat(base, per_row)

@@ -1,34 +1,36 @@
 """Outline chain (SURVEY.md A5/A6, M4): cell-set -> polygon -> GeoJSON.
 
 The reference polygonizes the raster mask into outline features
-(``/root/reference/outlines.py:39-99``: Polygonize -> area filter >10 m²
-(params.py:50) -> collect into MultiPolygon -> Buffer(0)/MakeValid ->
-Simplify(1) -> GeoJSON with gsd/registroid/map_id/date fields,
-outlines.py:104-128).
+(``/root/reference/export_formats/outlines.py:39-99``: Polygonize ->
+area filter >10 m² (params.py:50) -> collect into MultiPolygon ->
+Buffer(0)/MakeValid -> Simplify(1) -> GeoJSON with
+gsd/registroid/map_id/date fields, outlines.py:104-128).
 
 Engine form over pages: per group (map_id analog), the set of occupied
 level-p cells is the "mask"; connected components + exact boundary
-tracing of the cell union run in a grouped-map ``applyInPandas`` (the
-UDTF-shaped pixels->features operator, SURVEY.md §2.10) — pure numpy,
-no GDAL/shapely:
+tracing (outer ring AND interior hole rings — gdal.Polygonize emits
+both) run in grouped-map ``applyInPandas`` kernels — pure numpy/python
+sets, no GDAL/shapely.
 
-1. occupied cells -> connected components (4-neighbor union-find =
-   gdal.Polygonize's contiguity rule)
-2. component -> exact outer-boundary ring via edge-following (each
-   boundary edge appears exactly once; deterministic traversal)
-3. area filter: components below ``min_cells`` dropped (minimum_area
-   analog)
-4. simplify: collinear vertex elimination (exact for rectilinear
-   rings — the conservative analog of Simplify(tolerance))
-5. emit one row per component with the ring as GeoJSON text.
+Two physical plans over identical semantics:
 
-The grouped-map shuffles only (group_key, cell) pairs — cells are
-pre-deduplicated per group, so the shuffle is bounded by the number of
-distinct occupied cells, not pages (the same reduction the reference
-gets by polygonizing the 20 m downsample, process.py:172-182).
-Tile-crossing components within one group are handled exactly (the
-whole group's cell set is present); components crossing *group*
-boundaries don't exist by construction (groups partition pages).
+- ``cell_outlines_grouped``: one task per group — the whole group's
+  cell set polygonizes in one kernel. Exact, but parallelism is bounded
+  by the number of groups (the single-threaded tail at scale).
+- ``cell_outlines`` (default): SURVEY §7 hard-part (a) — cells are
+  partitioned into coarse tiles, each tile polygonizes locally in
+  parallel, tile-crossing components are merged by union-find on the
+  tiny border-adjacency graph (driver-side: nodes = local components,
+  edges = occupied cell pairs straddling a tile edge), then each GLOBAL
+  component traces its rings in its own task. Parallelism = number of
+  tiles for the local pass and number of components for the trace pass
+  — both >> number of groups. Differential-tested identical to the
+  grouped plan.
+
+The shuffles carry only (group, cell) pairs — cells are pre-dedup'd, so
+every stage is bounded by the number of distinct occupied cells, not
+pages (the same reduction the reference gets by polygonizing the 20 m
+downsample, process.py:172-182).
 """
 
 from __future__ import annotations
@@ -37,8 +39,14 @@ import json
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+OUTLINE_SCHEMA = ("grp string, component_id bigint, n_cells bigint,"
+                  " ring_geojson string,"
+                  " min_x bigint, min_y bigint, max_x bigint, max_y bigint")
+OUTLINE_COLS = ["grp", "component_id", "n_cells", "ring_geojson",
+                "min_x", "min_y", "max_x", "max_y"]
 
 
 def _connected_components(cells: np.ndarray) -> dict[tuple[int, int], int]:
@@ -64,19 +72,20 @@ def _connected_components(cells: np.ndarray) -> dict[tuple[int, int], int]:
     return {c: find(c) for c in cellset}
 
 
-def _boundary_ring(comp: set[tuple[int, int]]) -> list[tuple[int, int]]:
-    """Outer boundary of a 4-connected cell set as a closed lattice-vertex
-    ring (counter-clockwise, interior on the left).
+def _boundary_rings(comp: set[tuple[int, int]]) -> list[list[tuple[int, int]]]:
+    """ALL boundary rings of a 4-connected cell set as closed
+    lattice-vertex rings: the outer ring plus one ring per enclosed hole
+    (gdal.Polygonize interior-ring semantics, outlines.py:48).
 
-    Edge-following with used-edge marking; at pinch vertices (a vertex
-    with two outgoing boundary edges — diagonal self-touch) the sharpest
-    left turn is taken, mirroring how the reference repairs self-touching
-    rings with Buffer(0)/MakeValid (outlines.py:86-89). Interior hole
-    rings are intentionally omitted (outer ring only). Starts at the
-    lexicographically smallest vertex => deterministic output.
+    Edge-following with used-edge marking, interior kept on the left; at
+    pinch vertices (diagonal self-touch) the sharpest left turn is
+    taken, mirroring how the reference repairs self-touching rings with
+    Buffer(0)/MakeValid (outlines.py:86-89). Each ring starts at its
+    lexicographically smallest unused vertex => deterministic output.
     """
     # boundary edges as directed segments keeping interior on the left
     edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    unused: set[tuple[tuple[int, int], tuple[int, int]]] = set()
     for (x, y) in comp:
         segs = []
         if (x, y - 1) not in comp:  # bottom edge, left->right
@@ -89,31 +98,34 @@ def _boundary_ring(comp: set[tuple[int, int]]) -> list[tuple[int, int]]:
             segs.append(((x, y + 1), (x, y)))
         for a, b in segs:
             edges.setdefault(a, []).append(b)
+            unused.add((a, b))
 
     def turn_rank(din, dout):
         # smaller = sharper left turn (cross product descending)
         return -(din[0] * dout[1] - din[1] * dout[0])
 
-    start = min(edges)
-    ring = [start]
-    used: set[tuple[tuple[int, int], tuple[int, int]]] = set()
-    cur = start
-    din = (0, 1)  # arbitrary initial heading; start vertex is convex
-    while True:
-        outs = [b for b in edges.get(cur, ())
-                if (cur, b) not in used]
-        if not outs:
-            break
-        nxt = min(
-            outs,
-            key=lambda b: turn_rank(din, (b[0] - cur[0], b[1] - cur[1])))
-        used.add((cur, nxt))
-        ring.append(nxt)
-        din = (nxt[0] - cur[0], nxt[1] - cur[1])
-        cur = nxt
-        if cur == start:
-            break
-    return ring
+    rings = []
+    while unused:
+        start = min(a for a, _ in unused)
+        ring = [start]
+        cur = start
+        din = (0, 1)  # arbitrary initial heading; start vertex is convex
+        while True:
+            outs = [b for b in edges.get(cur, ())
+                    if (cur, b) in unused]
+            if not outs:
+                break
+            nxt = min(
+                outs,
+                key=lambda b: turn_rank(din, (b[0] - cur[0], b[1] - cur[1])))
+            unused.discard((cur, nxt))
+            ring.append(nxt)
+            din = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                break
+        rings.append(ring)
+    return rings
 
 
 def _simplify_rectilinear(ring: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -133,15 +145,47 @@ def _simplify_rectilinear(ring: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return out
 
 
-def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
-                  level: int = 6, min_cells: int = 1) -> DataFrame:
-    """Polygonize the occupied-cell mask per group.
+def _shoelace2(ring: list[tuple[int, int]]) -> int:
+    """Twice the signed shoelace area of a closed ring (exact int)."""
+    s = 0
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        s += x1 * y2 - x2 * y1
+    return s
 
-    Returns (group, component_id, n_cells, ring_geojson, min_x, min_y,
-    max_x, max_y). Cells are level-`level` quadkey grid coords.
-    """
+
+def _component_geojson(comp: set[tuple[int, int]]) -> str:
+    """GeoJSON Polygon text for one component: outer ring first, then
+    interior hole rings (largest-|area| ring is the outer; holes ordered
+    by their smallest vertex => deterministic)."""
+    rings = [_simplify_rectilinear(r) for r in _boundary_rings(comp)]
+    rings.sort(key=lambda r: (-abs(_shoelace2(r)), min(r)))
+    return json.dumps({
+        "type": "Polygon",
+        "coordinates": [[list(p) for p in r] for r in rings],
+    }, separators=(",", ":"))
+
+
+def _component_rows(grp: str, comps: list[set], min_cells: int,
+                    numbered: bool = True) -> list[tuple]:
+    rows = []
+    ordered = sorted(comps, key=lambda s: min(s))
+    for cid, comp in enumerate(ordered):
+        if len(comp) < min_cells:
+            continue  # minimum_area filter (params.py:50)
+        xs = [c[0] for c in comp]
+        ys = [c[1] for c in comp]
+        rows.append((grp, cid if numbered else -1, len(comp),
+                     _component_geojson(comp),
+                     min(xs), min(ys), max(xs) + 1, max(ys) + 1))
+    return rows
+
+
+def occupied_cells(geocoded: DataFrame, group_col: str = "lang",
+                   level: int = 6) -> DataFrame:
+    """Distinct occupied level-`level` grid cells per group — the "mask".
+    Shuffle bounded by occupied cells, not pages."""
     n = 1 << level
-    cells = (
+    return (
         geocoded.select(
             F.col(group_col).alias("grp"),
             F.expr(
@@ -151,11 +195,15 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
                 f"cast(floor(least(greatest(90000 - latm, 0), 179999)"
                 f" * {n} / 180000) as bigint)").alias("cy"),
         )
-        .distinct()  # shuffle bounded by occupied cells, not pages
+        .distinct()
     )
-    schema = ("grp string, component_id bigint, n_cells bigint,"
-              " ring_geojson string,"
-              " min_x bigint, min_y bigint, max_x bigint, max_y bigint")
+
+
+def cell_outlines_grouped(geocoded: DataFrame, group_col: str = "lang",
+                          level: int = 6, min_cells: int = 1) -> DataFrame:
+    """One-task-per-group polygonize (exact; reference plan for the
+    tiled path's differential test)."""
+    cells = occupied_cells(geocoded, group_col, level)
 
     def polygonize(key, pdf: pd.DataFrame) -> pd.DataFrame:
         grp = key[0]
@@ -164,38 +212,188 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
         comps: dict[tuple[int, int], set] = {}
         for cell, root in roots.items():
             comps.setdefault(root, set()).add(cell)
-        rows = []
-        ordered = sorted(comps.values(), key=lambda s: min(s))
-        for cid, comp in enumerate(ordered):
-            if len(comp) < min_cells:
-                continue  # minimum_area filter (params.py:50)
-            ring = _simplify_rectilinear(_boundary_ring(comp))
-            gj = json.dumps({
-                "type": "Polygon",
-                "coordinates": [[list(p) for p in ring]],
-            }, separators=(",", ":"))
-            xs = [c[0] for c in comp]
-            ys = [c[1] for c in comp]
-            rows.append((grp, cid, len(comp), gj,
-                         min(xs), min(ys), max(xs) + 1, max(ys) + 1))
-        return pd.DataFrame(rows, columns=[
-            "grp", "component_id", "n_cells", "ring_geojson",
-            "min_x", "min_y", "max_x", "max_y"])
+        return pd.DataFrame(
+            _component_rows(grp, list(comps.values()), min_cells),
+            columns=OUTLINE_COLS)
 
-    return cells.groupBy("grp").applyInPandas(polygonize, schema=schema)
+    return cells.groupBy("grp").applyInPandas(
+        polygonize, schema=OUTLINE_SCHEMA)
 
 
-def outline_features(outlines: DataFrame, gsd: float = 0.2) -> DataFrame:
-    """GeoJSON feature rows mirroring the reference outline schema
-    (outlines.py:104-128: gsd, registroid, map_id, date + geometry)."""
+def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
+                  level: int = 6, min_cells: int = 1,
+                  tile_shift: int = 3) -> DataFrame:
+    """Tile-partitioned polygonize with cross-tile boundary merge.
+
+    Stage A: per (group, 2^tile_shift-sized coarse tile) local
+    union-find — parallelism = occupied tiles. Stage M: union-find on
+    the border-adjacency graph of LOCAL components (nodes = local
+    component labels, edges = occupied 4-neighbor cell pairs straddling
+    a tile edge) — this graph is tiny (border cells only), merged
+    driver-side and rebroadcast, exactly the SURVEY §7 iterative
+    boundary-merge hard part. Stage B: each GLOBAL component traces its
+    rings in its own task — parallelism = number of components.
+    Component ids are renumbered by smallest cell per group, matching
+    ``cell_outlines_grouped`` bit-for-bit.
+    """
+    spark = geocoded.sparkSession
+    ts = 1 << tile_shift
+    cells = occupied_cells(geocoded, group_col, level).withColumn(
+        "tx", F.expr(f"cast(floor(cx / {ts}) as bigint)")
+    ).withColumn("ty", F.expr(f"cast(floor(cy / {ts}) as bigint)"))
+
+    # --- stage A: local components per (grp, tile) -----------------------
+    a_schema = ("grp string, tx bigint, ty bigint, lid bigint,"
+                " cx bigint, cy bigint")
+
+    def local_cc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        grp, tx, ty = key
+        arr = pdf[["cx", "cy"]].to_numpy(np.int64)
+        roots = _connected_components(arr)
+        # stable local ids: rank of each root's smallest member cell
+        members: dict[tuple[int, int], list] = {}
+        for cell, root in roots.items():
+            members.setdefault(root, []).append(cell)
+        lid_of = {root: i for i, root in enumerate(
+            sorted(members, key=lambda r: min(members[r])))}
+        rows = [(grp, tx, ty, lid_of[root], c[0], c[1])
+                for root, cs in members.items() for c in cs]
+        return pd.DataFrame(rows, columns=["grp", "tx", "ty", "lid",
+                                           "cx", "cy"])
+
+    labeled = cells.groupBy("grp", "tx", "ty").applyInPandas(
+        local_cc, schema=a_schema)
+    labeled = labeled.persist()
+
+    # --- stage M: merge local components across tile edges ---------------
+    # border cells only: a cell on a tile's max edge joined to its
+    # +1-neighbor in the adjacent tile (same 4-connectivity rule)
+    right = labeled.filter((F.col("cx") % ts) == ts - 1).select(
+        "grp", F.col("tx").alias("atx"), F.col("ty").alias("aty"),
+        F.col("lid").alias("alid"),
+        (F.col("cx") + 1).alias("jx"), F.col("cy").alias("jy"))
+    down = labeled.filter((F.col("cy") % ts) == ts - 1).select(
+        "grp", F.col("tx").alias("atx"), F.col("ty").alias("aty"),
+        F.col("lid").alias("alid"),
+        F.col("cx").alias("jx"), (F.col("cy") + 1).alias("jy"))
+    probes = right.unionByName(down)
+    hits = probes.join(
+        labeled.select("grp", F.col("cx").alias("jx"),
+                       F.col("cy").alias("jy"),
+                       F.col("tx").alias("btx"), F.col("ty").alias("bty"),
+                       F.col("lid").alias("blid")),
+        ["grp", "jx", "jy"])
+    edge_rows = hits.select(
+        "grp", "atx", "aty", "alid", "btx", "bty", "blid"
+    ).distinct().collect()
+    node_rows = labeled.select("grp", "tx", "ty", "lid").distinct().collect()
+
+    parent: dict[tuple, tuple] = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in node_rows:
+        n = (r["grp"], r["tx"], r["ty"], r["lid"])
+        parent[n] = n
+    for r in edge_rows:
+        a = (r["grp"], r["atx"], r["aty"], r["alid"])
+        b = (r["grp"], r["btx"], r["bty"], r["blid"])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    gid_of = {}
+    roots = {}
+    for n in parent:
+        root = find(n)
+        gid_of[n] = roots.setdefault(root, len(roots))
+    mapping = spark.createDataFrame(
+        [(g, tx, ty, lid, gid) for (g, tx, ty, lid), gid in gid_of.items()],
+        schema=["grp", "tx", "ty", "lid", "gid"])
+    merged = labeled.join(F.broadcast(mapping), ["grp", "tx", "ty", "lid"]) \
+        .select("grp", "gid", "cx", "cy")
+
+    # --- stage B: ring trace per GLOBAL component -------------------------
+    b_schema = ("grp string, n_cells bigint, ring_geojson string,"
+                " min_x bigint, min_y bigint, max_x bigint, max_y bigint,"
+                " mcx bigint, mcy bigint")
+
+    def trace(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = key[0]
+        comp = {(int(x), int(y))
+                for x, y in pdf[["cx", "cy"]].to_numpy(np.int64)}
+        if len(comp) < min_cells:
+            return pd.DataFrame(columns=[
+                "grp", "n_cells", "ring_geojson",
+                "min_x", "min_y", "max_x", "max_y", "mcx", "mcy"])
+        xs = [c[0] for c in comp]
+        ys = [c[1] for c in comp]
+        mcx, mcy = min(comp)
+        return pd.DataFrame([(grp, len(comp), _component_geojson(comp),
+                              min(xs), min(ys), max(xs) + 1, max(ys) + 1,
+                              mcx, mcy)],
+                            columns=["grp", "n_cells", "ring_geojson",
+                                     "min_x", "min_y", "max_x", "max_y",
+                                     "mcx", "mcy"])
+
+    traced = merged.groupBy("grp", "gid").applyInPandas(
+        trace, schema=b_schema)
+    w = Window.partitionBy("grp").orderBy("mcx", "mcy")
+    out = (
+        traced.withColumn(
+            "component_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(*OUTLINE_COLS)
+    )
+    labeled.unpersist()
+    return out
+
+
+def outline_features(outlines: DataFrame, gsd: float = 0.2,
+                     date: str | None = None) -> DataFrame:
+    """Complete GeoJSON Feature rows mirroring the reference's feature
+    assembly (outlines.py:104-128: geometry + gsd/registroid/map_id/date
+    properties in ONE json document per feature)."""
+    props = F.struct(
+        F.col("grp").alias("map_id"),
+        F.col("component_id").alias("registroid"),
+        F.lit(gsd).alias("gsd"),
+        F.lit(date).alias("date"),
+        F.col("n_cells").alias("n_cells"),
+    )
     return outlines.select(
-        F.to_json(F.struct(
-            F.lit("Feature").alias("type"),
-            F.struct(
-                F.col("grp").alias("map_id"),
-                F.lit(gsd).alias("gsd"),
-                F.col("n_cells").alias("n_cells"),
-            ).alias("properties"),
-        )).alias("feature_head"),
-        "ring_geojson",
+        "grp",
+        F.concat(
+            F.lit('{"type":"Feature","properties":'),
+            F.to_json(props),
+            F.lit(',"geometry":'),
+            F.col("ring_geojson"),
+            F.lit("}"),
+        ).alias("feature_json"),
+        "component_id",
+    )
+
+
+def feature_collections(outlines: DataFrame, gsd: float = 0.2,
+                        date: str | None = None) -> DataFrame:
+    """One GeoJSON FeatureCollection document per group (the reference
+    writes one outline GeoJSON file per processed map,
+    outlines.py:104-128). Features ordered by component_id."""
+    feats = outline_features(outlines, gsd=gsd, date=date)
+    return (
+        feats.groupBy("grp")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("component_id", "feature_json"))
+        ).alias("fl"))
+        .select(
+            "grp",
+            F.concat(
+                F.lit('{"type":"FeatureCollection","features":['),
+                F.array_join(F.transform(
+                    F.col("fl"), lambda s: s["feature_json"]), ","),
+                F.lit("]}"),
+            ).alias("feature_collection"),
+        )
     )

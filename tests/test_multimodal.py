@@ -67,3 +67,17 @@ def test_binary_column_pruned_when_unused(spark, sf_dir, tmp_path):
     df = spark.read.parquet(path).select("url", "lang")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "html" not in plan
+
+def test_strict_mode_raises_codec_contract(spark, sf_dir):
+    """The real-codec slot: strict mode must surface NotImplementedError
+    from the executor (documented container limitation — PIL/libjpeg
+    absent; the Arrow plumbing around the slot is the tested part)."""
+    import pytest
+    from geotiff_processor_spark.operators import multimodal
+    from geotiff_processor_spark.sources import synth as _synth
+    pages = _synth.build_pages(spark, sf_dir, with_html=True).limit(4)
+    out = multimodal.decode_images(pages, strict=True)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)

@@ -25,7 +25,7 @@ def test_components_split():
 
 def test_ring_area_equals_cells_lshape():
     comp = {(0, 0), (1, 0), (1, 1)}
-    ring = outline._boundary_ring(comp)
+    (ring,) = outline._boundary_rings(comp)
     assert ring[0] == ring[-1]
     assert abs(_shoelace(ring)) == len(comp)
     simp = outline._simplify_rectilinear(ring)
@@ -37,18 +37,88 @@ def test_ring_terminates_on_diagonal_pinch():
     # (0,0) and (1,1) touch diagonally but are 4-connected via a path
     comp = {(0, 0), (0, 1), (1, 1), (0, -1), (1, -1), (2, -1), (2, 0),
             (2, 1)}
-    ring = outline._boundary_ring(comp)
-    assert ring[0] == ring[-1]
-    assert len(ring) < 100  # terminated
+    rings = outline._boundary_rings(comp)
+    assert all(r[0] == r[-1] for r in rings)
+    assert sum(len(r) for r in rings) < 100  # terminated
 
 
-def test_ring_with_hole_outer_only():
+def test_donut_emits_outer_and_hole_rings():
+    """gdal.Polygonize semantics (outlines.py:48): a mask with a nodata
+    hole polygonizes to outer ring + interior ring."""
+    import json as _json
     comp = {(x, y) for x in range(3) for y in range(3)} - {(1, 1)}
-    ring = outline._boundary_ring(comp)
-    simp = outline._simplify_rectilinear(ring)
-    # outer ring of the 3x3 square: area 9 (hole omitted by design)
-    assert abs(_shoelace(simp)) == 9
-    assert sorted(simp[:-1]) == [(0, 0), (0, 3), (3, 0), (3, 3)]
+    gj = _json.loads(outline._component_geojson(comp))
+    rings = [[tuple(p) for p in r] for r in gj["coordinates"]]
+    assert len(rings) == 2
+    outer, hole = rings
+    assert abs(_shoelace(outer)) == 9
+    assert sorted(outer[:-1]) == [(0, 0), (0, 3), (3, 0), (3, 3)]
+    assert abs(_shoelace(hole)) == 1
+    assert sorted(hole[:-1]) == [(1, 1), (1, 2), (2, 1), (2, 2)]
+    # opposite winding: hole interior is on the polygon's outside
+    assert _shoelace(outer) * _shoelace(hole) < 0
+
+
+def test_tiled_matches_grouped_differential(spark, sf_dir):
+    """The tile-partitioned + boundary-merge plan must reproduce the
+    one-task-per-group plan bit-for-bit (ids, rings, bboxes)."""
+    g = synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+    tiled = outline.cell_outlines(g, group_col="lang", level=6,
+                                  tile_shift=3)
+    grouped = outline.cell_outlines_grouped(g, group_col="lang", level=6)
+    assert tiled.exceptAll(grouped).count() == 0
+    assert grouped.exceptAll(tiled).count() == 0
+    # and the tiled plan genuinely has more work units than groups
+    cells = outline.occupied_cells(g, "lang", 6)
+    n_groups = cells.select("grp").distinct().count()
+    n_tiles = cells.select(
+        "grp", F.expr("cast(floor(cx / 8) as bigint)").alias("tx"),
+        F.expr("cast(floor(cy / 8) as bigint)").alias("ty"),
+    ).distinct().count()
+    n_components = tiled.count()
+    assert n_tiles > n_groups
+    assert n_components > n_groups
+
+
+def test_tiled_merges_component_straddling_tiles(spark):
+    """A single 4-connected bar crossing three 8-cell tiles must come
+    out as ONE component with the exact full-bar ring."""
+    rows = [(f"u{x}", -180000 + int((x + 0.5) * 360000 / 64), 89000)
+            for x in range(4, 20)]  # cells cx=4..19 at cy=0: tiles 0,1,2
+    df = spark.createDataFrame(rows, ["url", "lonm", "latm"]).select(
+        "url", F.col("lonm").cast("bigint"), F.col("latm").cast("bigint"))
+    out = outline.cell_outlines(df, group_col="url", level=6, tile_shift=3)
+    # group_col=url makes 16 groups of 1 cell; regroup under a constant
+    df2 = df.withColumn("g", F.lit("all"))
+    out = outline.cell_outlines(df2, group_col="g", level=6, tile_shift=3)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_cells"] == 16
+    assert rows[0]["min_x"] == 4 and rows[0]["max_x"] == 20
+
+
+def test_feature_collection_assembly(spark, sf_dir):
+    """outlines.py:104-128 parity: one FeatureCollection per group,
+    features carry geometry + map_id/registroid/gsd/date properties."""
+    import json as _json
+    g = synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+    o = outline.cell_outlines(g, group_col="lang", level=6)
+    fc = outline.feature_collections(o, gsd=0.2, date="2026-08-16")
+    rows = {r["grp"]: r["feature_collection"] for r in fc.collect()}
+    assert set(rows) == {"en", "es", "fr", "pt"}
+    doc = _json.loads(rows["en"])
+    assert doc["type"] == "FeatureCollection"
+    n_en = o.filter(F.col("grp") == "en").count()
+    assert len(doc["features"]) == n_en
+    f0 = doc["features"][0]
+    assert f0["properties"]["map_id"] == "en"
+    assert f0["properties"]["gsd"] == 0.2
+    assert f0["properties"]["date"] == "2026-08-16"
+    assert f0["properties"]["registroid"] == 0
+    assert f0["geometry"]["type"] == "Polygon"
+    # features ordered by component_id
+    ids = [f["properties"]["registroid"] for f in doc["features"]]
+    assert ids == sorted(ids)
 
 
 def test_cell_outlines_pipeline(spark, sf_dir):
