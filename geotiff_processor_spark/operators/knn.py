@@ -59,10 +59,10 @@ def knn_exact(geocoded: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
             # distance collisions the surviving url could then differ
             # from the oracle's ORDER BY dist2, url)
             kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
-            for qi in range(len(qid)):
-                pool = best[int(qid[qi])]
-                js = np.flatnonzero(d2[qi] <= kth[qi])
-                pool.extend((int(d2[qi, j]), urls[j]) for j in js)
+            qis, js = np.nonzero(d2 <= kth[:, None])  # one pass, all queries
+            for qi, j in zip(qis.tolist(), js.tolist()):
+                best[int(qid[qi])].append((int(d2[qi, j]), urls[j]))
+            for pool in best.values():
                 pool.sort()
                 del pool[k:]
         rows = [

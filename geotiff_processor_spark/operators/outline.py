@@ -286,8 +286,10 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
     edge_rows = hits.select(
         "grp", "atx", "aty", "alid", "btx", "bty", "blid"
     ).distinct().collect()
-    node_rows = labeled.select("grp", "tx", "ty", "lid").distinct().collect()
 
+    # union-find over edge-CONNECTED local components only; components
+    # confined to one tile never appear in an edge and fall back to a
+    # packed per-node gid below (saves a whole collect-all-nodes job)
     parent: dict[tuple, tuple] = {}
 
     def find(a):
@@ -296,12 +298,11 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
             a = parent[a]
         return a
 
-    for r in node_rows:
-        n = (r["grp"], r["tx"], r["ty"], r["lid"])
-        parent[n] = n
     for r in edge_rows:
         a = (r["grp"], r["atx"], r["aty"], r["alid"])
         b = (r["grp"], r["btx"], r["bty"], r["blid"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb
@@ -310,11 +311,25 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
     for n in parent:
         root = find(n)
         gid_of[n] = roots.setdefault(root, len(roots))
-    mapping = spark.createDataFrame(
-        [(g, tx, ty, lid, gid) for (g, tx, ty, lid), gid in gid_of.items()],
-        schema=["grp", "tx", "ty", "lid", "gid"])
-    merged = labeled.join(F.broadcast(mapping), ["grp", "tx", "ty", "lid"]) \
-        .select("grp", "gid", "cx", "cy")
+    if gid_of:
+        mapping = spark.createDataFrame(
+            [(g, tx, ty, lid, gid)
+             for (g, tx, ty, lid), gid in gid_of.items()],
+            schema=["grp", "tx", "ty", "lid", "gid"])
+        mapped = labeled.join(F.broadcast(mapping),
+                              ["grp", "tx", "ty", "lid"], "left")
+    else:
+        mapped = labeled.withColumn("gid", F.lit(None).cast("bigint"))
+    # isolated local components: unique packed gid, disjoint from the
+    # driver-assigned non-negative ids
+    merged = mapped.select(
+        "grp",
+        F.coalesce(
+            F.col("gid").cast("bigint"),
+            -(F.col("tx") * F.lit(1 << 40) + F.col("ty") * F.lit(1 << 20)
+              + F.col("lid") + F.lit(1)).cast("bigint"),
+        ).alias("gid"),
+        "cx", "cy")
 
     # --- stage B: ring trace per GLOBAL component -------------------------
     b_schema = ("grp string, n_cells bigint, ring_geojson string,"

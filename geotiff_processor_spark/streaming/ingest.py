@@ -43,6 +43,40 @@ def ingest_pages_stream(spark: SparkSession, input_dir: str,
     q.awaitTermination()
 
 
+def windowed_ingest_stream(spark: SparkSession, input_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           schema=None, window: str = "1 hour",
+                           watermark: str = "30 minutes") -> None:
+    """Watermarked event-time windowed counts as a real stream (late-data
+    discipline, SURVEY.md §2.9): rows older than ``watermark`` behind
+    the max seen event time are DROPPED; windows are emitted to the
+    append-mode sink only once the watermark passes their end
+    (exactly-once finalized windows — the streaming analog of the
+    reference's once-per-registro processing discipline)."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file =>
+        .parquet(input_dir)               # watermark advances between files
+    )
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_throughput(pages: DataFrame,
                         window: str = "1 hour") -> DataFrame:
     """Event-time tumbling window counts over warc_ts (batch or stream;

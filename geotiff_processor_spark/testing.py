@@ -46,3 +46,22 @@ def assert_spark_equals_duck(df, con, sql, label=""):
     sc, sr = spark_norm(df)
     dc, dr = duck_norm(con, sql)
     assert_frames_match(sc, sr, dc, dr, label)
+
+
+def donut_pages_fixture(spark):
+    """Pages whose occupied level-6 cells form a 3x3 block minus the
+    center — polygonizes to an outer ring + one hole ring (the donut
+    mask case of gdal.Polygonize, outlines.py:48). Deterministic."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for cx in range(10, 13):
+        for cy in range(10, 13):
+            if (cx, cy) == (11, 11):
+                continue
+            lonm = -180000 + cx * 5625 + 2000      # mid-cell x
+            latm = 90000 - (cy * 2813 + 100)       # maps into row cy
+            rows.append((f"d{cx}_{cy}", lonm, latm))
+    return spark.createDataFrame(rows, ["url", "lonm", "latm"]).select(
+        "url", F.col("lonm").cast("bigint"), F.col("latm").cast("bigint"),
+    ).withColumn("g", F.lit("donut"))

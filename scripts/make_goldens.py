@@ -63,6 +63,16 @@ def main():
                   f, separators=(",", ":"))
     print("outline.geojson ->", len(features), "features")
 
+    # feature_collection.json: FULL document assembly golden over the
+    # donut fixture (outer + hole ring; outlines.py:104-128 parity)
+    from geotiff_processor_spark.operators import outline as ol
+    from geotiff_processor_spark.testing import donut_pages_fixture
+    o = ol.cell_outlines(donut_pages_fixture(spark), group_col="g", level=6)
+    fc = ol.feature_collections(o, gsd=0.2, date="2026-01-01").first()
+    with open(os.path.join(OUT, "feature_collection.json"), "w") as f:
+        f.write(fc["feature_collection"])
+    print("feature_collection.json ->", fc["grp"])
+
     # quantities.txt: 7 comma-joined break values (quantities.py:14-24)
     row = qs["percentile_breaks"](spark, SF_DIR).first()
     vals = [row[f"break_{i + 1}"] for i in range(7)]

@@ -49,3 +49,19 @@ def test_quantities_golden(spark, sf_dir):
     got = ",".join(str(round(row[f"break_{i + 1}"], 6)) for i in range(7))
     with open(os.path.join(GOLDEN_DIR, "quantities.txt")) as f:
         assert got == f.read().strip()
+
+
+def test_feature_collection_golden(spark):
+    """Full FeatureCollection document (geometry incl. hole ring +
+    map_id/registroid/gsd/date properties) compared byte-exactly."""
+    from geotiff_processor_spark.operators import outline as ol
+    from geotiff_processor_spark.testing import donut_pages_fixture
+    o = ol.cell_outlines(donut_pages_fixture(spark), group_col="g", level=6)
+    got = ol.feature_collections(o, gsd=0.2, date="2026-01-01") \
+        .first()["feature_collection"]
+    with open(os.path.join(GOLDEN_DIR, "feature_collection.json")) as f:
+        want = f.read()
+    assert got == want
+    doc = json.loads(got)
+    rings = doc["features"][0]["geometry"]["coordinates"]
+    assert len(rings) == 2  # outer + hole

@@ -36,3 +36,35 @@ def test_windowed_throughput(spark, sf_dir):
     w = ingest.windowed_throughput(pages)
     total = w.agg(F.sum("n_pages")).first()[0]
     assert total == pages.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data discipline: a row arriving behind the watermark is
+    dropped; finalized windows carry on-time counts only."""
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    base = "2025-01-01 {:02d}:30:00"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["url", "warc_ts", "lang"]) \
+            .select("url", F.col("warc_ts").cast("timestamp"), "lang")
+
+    # run 1: hours 0,0,1,2 plus an hour-9 row that advances the
+    # watermark to 08:30 (far past those windows' ends). The watermark
+    # persists in the checkpoint across AvailableNow runs.
+    mk([("a", base.format(0), "es"), ("b", base.format(0), "es"),
+        ("c", base.format(1), "es"), ("d", base.format(2), "es"),
+        ("e", base.format(9), "es")]).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    ingest.windowed_ingest_stream(spark, src, out, ckpt, schema=schema)
+    # run 2: one LATE hour-0 row (behind the checkpointed 08:30
+    # watermark => dropped) + an on-time hour-10 row
+    mk([("late", base.format(0), "es"), ("f", base.format(10), "es")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    ingest.windowed_ingest_stream(spark, src, out, ckpt, schema=schema)
+    got = {r["window_start"].hour: r["n_pages"]
+           for r in spark.read.parquet(out).collect()}
+    # hour-0 window finalized with the 2 on-time rows; the late row is gone
+    assert got[0] == 2
+    assert got[1] == 1 and got[2] == 1
