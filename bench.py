@@ -146,6 +146,36 @@ def _steal_window(fn):
     return out, (s1 - s0) / dt
 
 
+def _probe_task(_):
+    """Fixed CPU-bound kernel (int64 LCG over an L2-resident 512 KB
+    array — must NOT be DRAM-bound, or the probe measures memory
+    bandwidth instead of granted cycles) — embarrassingly parallel, no
+    shared state, no I/O."""
+    import numpy as np
+    a = np.arange(65_536, dtype=np.int64)
+    for _ in range(2500):
+        np.multiply(a, 1103515245, out=a)  # in-place: no allocator
+        np.add(a, 12345, out=a)            # traffic, pure ALU + L2
+        np.bitwise_and(a, 0x7FFFFFFF, out=a)
+    return int(a[0])
+
+
+def machine_parallel_throughput(n_procs: int) -> float:
+    """Tasks/sec the MACHINE delivers for perfectly parallel CPU work at
+    ``n_procs`` workers. The N-vs-4N proxy on this shared host is capped
+    by what the hypervisor actually grants: hypervisor steal reads 0
+    while pure-CPU multiprocessing still fails to scale 8->32 in many
+    windows, so the achievable machine speedup must be measured, not
+    assumed to be 4."""
+    import multiprocessing as mp
+    with mp.Pool(n_procs) as pool:
+        pool.map(_probe_task, range(n_procs))  # warm pool + pages
+        t0 = time.perf_counter()
+        pool.map(_probe_task, range(n_procs * 2))
+        dt = time.perf_counter() - t0
+    return (n_procs * 2) / dt
+
+
 def _wait_quiet(budget_s: float, probe_s: float = 4.0,
                 threshold: float = 0.02) -> None:
     """Block until a probe window shows steal below threshold (or the
@@ -174,6 +204,7 @@ def measure_scaling(pages_path: str, deadline_s: float,
     every published number carries its contention context.
     """
     best8 = best32 = 0.0
+    probe8 = probe32 = 0.0
     n_pages = 0
     steals = []
     t_start = time.perf_counter()
@@ -181,9 +212,14 @@ def measure_scaling(pages_path: str, deadline_s: float,
         if attempt and time.perf_counter() - t_start > deadline_s * 0.66:
             break
         _wait_quiet(budget_s=min(60.0, deadline_s / 6))
+        # machine-achievable parallel throughput, measured in the SAME
+        # window as the engine runs (max across attempts, like the
+        # engine numbers — noise only ever slows both down)
+        probe8 = max(probe8, machine_parallel_throughput(8))
         (r8, st8) = _steal_window(
             lambda: run_flagship("local[8]", pages_path, n_timed=3))
         pps8, n_pages = r8
+        probe32 = max(probe32, machine_parallel_throughput(32))
         # local[32] runs are the ones contention hurts (they need all
         # cores free) — min over MANY short runs spans ~1 min of wall
         # time, so a single quiet window inside a noisy attempt is
@@ -196,10 +232,21 @@ def measure_scaling(pages_path: str, deadline_s: float,
         clean = steals[-1] < steal_clean
         if clean or time.perf_counter() - t_start > deadline_s:
             break
+    engine_speedup = best32 / best8
+    machine_speedup = probe32 / probe8 if probe8 else 4.0
     return {
         "local[8]_pages_per_sec": round(best8, 1),
         "local[32]_pages_per_sec": round(best32, 1),
-        "efficiency": round((best32 / best8) / 4, 3),
+        "efficiency": round(engine_speedup / 4, 3),
+        # what fraction of the HOST's demonstrable 8->32 speedup the
+        # engine achieved (shared host: the hypervisor grants < 4x even
+        # to perfectly parallel CPU work; see BASELINE.md)
+        "machine_speedup_8_to_32": round(machine_speedup, 3),
+        # denominator never exceeds the ideal 4 (a >4x probe reading
+        # would otherwise understate the engine)
+        "efficiency_vs_machine": round(
+            engine_speedup / min(machine_speedup, 4.0)
+            if machine_speedup > 0 else 0.0, 3),
         "n_attempts": len(steals),
         "steal_frac_per_attempt": steals,
         "n_pages": n_pages,

@@ -40,3 +40,24 @@ def test_hot_skew_present(spark, sf_dir):
         & (F.abs(F.col("latm") - (-34600)) <= 50)).count()
     # ~5% of pages across 3 cities => ~1.67% in Buenos Aires
     assert hot >= n * 0.01
+
+
+def test_fast_geocode_parser_equals_regexp(spark, sf_dir):
+    """Engine hot-path (substring_index) and oracle (regexp) location
+    parsers must agree row-by-row, NULLs included."""
+    from pyspark.sql import functions as F
+    p = synth.build_pages(spark, sf_dir, with_html=False)
+    bad = p.select(
+        F.expr(f"({synth.SQL_GEO_LONM}) <=> ({synth.SQL_GEO_LONM_FAST})")
+        .alias("e1"),
+        F.expr(f"({synth.SQL_GEO_LATM}) <=> ({synth.SQL_GEO_LATM_FAST})")
+        .alias("e2"),
+    ).filter("not e1 or not e2")
+    assert bad.count() == 0
+    # and a loc-less text parses to NULL on both
+    odd = spark.createDataFrame(
+        [("no location here",), ("x loc=12/ y",)], ["text"])
+    rows = odd.select(
+        F.expr(synth.SQL_GEO_LONM_FAST).alias("f"),
+        F.expr(synth.SQL_GEO_LONM).alias("r")).collect()
+    assert rows[0]["f"] is None and rows[0]["r"] is None
