@@ -108,7 +108,10 @@ def q_knn(spark, sf_dir):
         _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
 
 
-def q_knn_cell_prefix(spark, sf_dir):  # rows-only: approximate by design
+def q_knn_cell_prefix(spark, sf_dir):
+    """Cell-index kNN with adaptive ring expansion — EXACT (the ring
+    grows until the k-th distance provably beats anything outside the
+    block), so it shares the exhaustive-kNN oracle."""
     return knn.knn_cell_prefix(
         _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
 
@@ -235,6 +238,13 @@ def q_ann_cosine(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):  # rows-only: recall tested in pytest
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann.lsh_bucket_ann(emb, n_queries=5, k=10)
+
+
+def q_ann_ivf(spark, sf_dir):  # rows-only: approximate by design
+    """IVF ANN: deterministic k-means coarse quantizer, nprobe nearest
+    lists scanned per query (recall floor + nprobe=all==exact pytest)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_ann(emb, n_queries=5, k=10, n_lists=16, nprobe=4)
 
 
 def q_minhash_candidates(spark, sf_dir):  # rows-only (LSH banding)
@@ -619,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_ingest": q_hourly_ingest,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "pip_general": q_pip_general,
@@ -709,6 +720,8 @@ kn AS (
         " cast(rnk as bigint) AS rank, cast(dist2 as bigint) AS dist2"
         " FROM kn WHERE rnk <= 5",
     )
+    # the adaptive-ring cell-index kNN is exact => same oracle
+    sql["knn_cell_prefix"] = sql["knn"]
     sql["zonal_stats"] = _with_geo(
         pip_sql,
         "SELECT cast(polygon_id as bigint) AS polygon_id, zone,"

@@ -207,3 +207,100 @@ def lsh_bucket_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .select("query_vec_id", "vec_id",
                 F.col("rank").cast("bigint").alias("rank"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> probe nearest lists only
+# ---------------------------------------------------------------------------
+
+def _kmeans_centroids(sample: np.ndarray, n_lists: int,
+                      iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample: init =
+    first n_lists sample rows (input is deterministic), fixed iteration
+    count, numpy only. Returns L2-normalized (n_lists, dim) centroids."""
+    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    c = x[:n_lists].copy()
+    for _ in range(iters):
+        sims = x @ c.T                      # (n, k)
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = x[m].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    c[j] = v / nv
+    return c
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Add ``list_id`` = argmax-cosine centroid — one Arrow batch matmul
+    per partition (map-side only; embeddings never shuffle)."""
+    cmat = centroids.astype(np.float64)
+
+    out_schema = "vec_id bigint, list_id int"
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            lid = np.argmax(mat @ cmat.T, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "list_id": lid.astype(np.int32),
+            })
+
+    ids = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema=out_schema)
+    return embeddings.join(ids, "vec_id")
+
+
+def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+            n_lists: int = 16, nprobe: int = 4,
+            sample_rows: int = 256) -> DataFrame:
+    """IVF ANN: partition vectors into ``n_lists`` coarse cells (k-means
+    on a deterministic sample), probe only each query's ``nprobe``
+    nearest lists, exact cosine on those candidates. At 100 TB the
+    assignment is an embarrassingly parallel map; the probe join
+    broadcasts |Q| x nprobe (query, list) pairs, so the scan touches
+    ~nprobe/n_lists of the corpus instead of all of it. Approximate
+    (recall < 1 by design, tested against cosine_topk); see
+    ``lsh_bucket_ann`` for the hash-bucketed alternative."""
+    sample = embeddings.filter(F.col("vec_id") < sample_rows) \
+        .select("vec_id", "embedding").collect()
+    smat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in sorted(sample, key=lambda r: r["vec_id"])])
+    cents = _kmeans_centroids(smat, n_lists)
+
+    indexed = ivf_assign(embeddings, cents)
+    qrows = embeddings.filter(F.col("vec_id") < n_queries) \
+        .select("vec_id", "embedding").collect()
+    probes = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        near = np.argsort(-(cents @ v))[:nprobe]
+        probes += [(int(r["vec_id"]), int(lid)) for lid in near]
+    pdf = embeddings.sparkSession.createDataFrame(
+        probes, schema=["query_vec_id", "list_id"])
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("q_emb"))
+    cand = (
+        indexed.join(F.broadcast(pdf), "list_id")
+        .join(F.broadcast(q), "query_vec_id")
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+    )
+    cand = cand.withColumn(
+        "cos_sim",
+        F.round(_dot("embedding", "q_emb")
+                / (F.sqrt(_norm2("embedding")) * F.sqrt(_norm2("q_emb"))),
+                6))
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id",
+                F.col("rank").cast("bigint").alias("rank"), "cos_sim")
+    )

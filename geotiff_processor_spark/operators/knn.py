@@ -97,48 +97,115 @@ def knn_crossjoin(geocoded: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     )
 
 
+def _cells_for_block(xq: int, yq: int, ring: int, prefix_level: int
+                     ) -> list[str]:
+    n = 1 << prefix_level
+    cells = []
+    for cx in range(max(0, xq - ring), min(n - 1, xq + ring) + 1):
+        for cy in range(max(0, yq - ring), min(n - 1, yq + ring) + 1):
+            cells.append("".join(
+                str(((cx >> (prefix_level - l)) & 1)
+                    + 2 * ((cy >> (prefix_level - l)) & 1))
+                for l in range(1, prefix_level + 1)))
+    return cells
+
+
 def knn_cell_prefix(geocoded: DataFrame, queries: DataFrame, k: int = 5,
-                    prefix_level: int = 2, ring: int = 1) -> DataFrame:
-    """Approximate kNN via the cell hierarchy: candidates = pages in the
-    query's level-p cell *plus its ring-r neighborhood* (the standard
-    grid-index expansion — a point near a cell border still sees its
-    true neighbors in the adjacent cell). One broadcast equi-join on the
-    cell prefix; no pages shuffle. Exact iff the true k-NN ball fits in
-    the (2r+1)x(2r+1) cell block; recall tested vs knn_exact.
+                    prefix_level: int = 4, max_rounds: int = 8
+                    ) -> DataFrame:
+    """EXACT kNN via the cell hierarchy with adaptive ring expansion.
+
+    Round r: candidates = pages whose level-p cell prefix falls in the
+    query's (2r+1)x(2r+1) cell block — one broadcast equi-join on the
+    prefix, no pages shuffle, |Q|*k survivors collected. A query is
+    RESOLVED once it has k candidates and the k-th squared distance is
+    provably smaller than any point outside the block could achieve:
+    every outside point differs by > margin in some axis, where margin
+    is the query's distance to the block's inner edge (domain-clipped
+    sides are unbounded), so ``dk2 < (margin+1)^2`` certifies global
+    exactness. Unresolved queries re-run with a wider ring; typical
+    workloads resolve at r=1, so the candidate volume stays ~|Q| cells
+    of pages rather than the whole table (the reference-style global
+    sort this replaces, SURVEY.md J6/W3).
     """
     from ..functions.geo import LAT_SPAN, LON_SPAN
 
+    spark = geocoded.sparkSession
     n = 1 << prefix_level
+    INF = 1 << 60
     qrows = queries.select("query_id", "qlonm", "qlatm").collect()
-    expanded = []
+    state = {}
     for r in qrows:
         xi = min(max(int(r["qlonm"]) + 180_000, 0), LON_SPAN - 1)
         yi = min(max(90_000 - int(r["qlatm"]), 0), LAT_SPAN - 1)
-        xq, yq = xi * n // LON_SPAN, yi * n // LAT_SPAN
-        seen = set()
-        for dx in range(-ring, ring + 1):
-            for dy in range(-ring, ring + 1):
-                cx, cy = xq + dx, yq + dy
-                if not (0 <= cx < n and 0 <= cy < n) or (cx, cy) in seen:
-                    continue
-                seen.add((cx, cy))
-                digits = "".join(
-                    str(((cx >> (prefix_level - l)) & 1)
-                        + 2 * ((cy >> (prefix_level - l)) & 1))
-                    for l in range(1, prefix_level + 1))
-                expanded.append((int(r["query_id"]), int(r["qlonm"]),
-                                 int(r["qlatm"]), digits))
-    qdf = geocoded.sparkSession.createDataFrame(
-        expanded, schema=["query_id", "qlonm", "qlatm", "qcell"])
-    cand = geocoded.withColumn(
-        "cell_pfx", F.substring("cell_id", 1, prefix_level)
-    ).join(F.broadcast(qdf), F.col("cell_pfx") == F.col("qcell"))
-    cand = cand.withColumn(
-        "dist2", F.expr(sql_dist2_mdeg("lonm", "latm", "qlonm", "qlatm")))
-    w = Window.partitionBy("query_id").orderBy("dist2", "url")
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "url",
-                F.col("rank").cast("bigint").alias("rank"), "dist2")
-    )
+        state[int(r["query_id"])] = {
+            "qlonm": int(r["qlonm"]), "qlatm": int(r["qlatm"]),
+            "xi": xi, "yi": yi,
+            "xq": xi * n // LON_SPAN, "yq": yi * n // LAT_SPAN,
+            "ring": 1,
+        }
+
+    pages_pfx = geocoded.select(
+        "url", "lonm", "latm",
+        F.substring("cell_id", 1, prefix_level).alias("cell_pfx"))
+    resolved: dict[int, list] = {}
+    unresolved = set(state)
+    for _ in range(max_rounds):
+        if not unresolved:
+            break
+        expanded = []
+        for qid in sorted(unresolved):
+            s = state[qid]
+            for cell in _cells_for_block(s["xq"], s["yq"], s["ring"],
+                                         prefix_level):
+                expanded.append((qid, s["qlonm"], s["qlatm"], cell))
+        qdf = spark.createDataFrame(
+            expanded, schema=["query_id", "qlonm", "qlatm", "qcell"])
+        cand = pages_pfx.join(
+            F.broadcast(qdf), F.col("cell_pfx") == F.col("qcell"))
+        cand = cand.withColumn(
+            "dist2", F.expr(sql_dist2_mdeg("lonm", "latm", "qlonm", "qlatm")))
+        w = Window.partitionBy("query_id").orderBy("dist2", "url")
+        top = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "url", "rank", "dist2")
+        ).collect()
+        by_q: dict[int, list] = {}
+        for row in top:
+            by_q.setdefault(int(row["query_id"]), []).append(row)
+        for qid in list(unresolved):
+            s = state[qid]
+            rows = by_q.get(qid, [])
+            ring = s["ring"]
+            xlo, xhi = max(0, s["xq"] - ring), min(n - 1, s["xq"] + ring)
+            ylo, yhi = max(0, s["yq"] - ring), min(n - 1, s["yq"] + ring)
+            # inner xi/yi bounds of the block (cell c covers
+            # [ceil(c*S/n), ceil((c+1)*S/n) - 1])
+            def ceil_div(a: int, b: int) -> int:
+                return -(-a // b)
+
+            mx_l = (s["xi"] - ceil_div(xlo * LON_SPAN, n)
+                    if xlo > 0 else INF)
+            mx_r = (ceil_div((xhi + 1) * LON_SPAN, n) - 1 - s["xi"]
+                    if xhi < n - 1 else INF)
+            my_l = (s["yi"] - ceil_div(ylo * LAT_SPAN, n)
+                    if ylo > 0 else INF)
+            my_r = (ceil_div((yhi + 1) * LAT_SPAN, n) - 1 - s["yi"]
+                    if yhi < n - 1 else INF)
+            margin = min(mx_l, mx_r, my_l, my_r)
+            full_cover = margin >= INF
+            if len(rows) == k and (full_cover
+                                   or int(rows[-1]["dist2"])
+                                   < (margin + 1) ** 2):
+                resolved[qid] = rows
+                unresolved.discard(qid)
+            elif full_cover:  # whole domain scanned, fewer than k pages
+                resolved[qid] = rows
+                unresolved.discard(qid)
+            else:
+                s["ring"] += 1
+    out = [(qid, r["url"], int(r["rank"]), int(r["dist2"]))
+           for qid, rows in resolved.items() for r in rows]
+    return spark.createDataFrame(
+        out, schema="query_id bigint, url string, rank bigint, dist2 bigint")

@@ -62,3 +62,21 @@ def test_embedding_near_dup_bucketed_no_all_pairs(spark, sf_dir):
     assert planted <= got
     for r in out.collect():
         assert r["cos_sim"] >= 0.9999
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    exact = {(r["query_vec_id"], r["vec_id"])
+             for r in ann.cosine_topk(emb, n_queries=5, k=10).collect()}
+    a = ann.ivf_ann(emb, n_queries=5, k=10, n_lists=16, nprobe=4)
+    got = {(r["query_vec_id"], r["vec_id"]) for r in a.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5  # nprobe=4/16 lists; documented approximate op
+    # deterministic: second build = identical rows
+    b = ann.ivf_ann(emb, n_queries=5, k=10, n_lists=16, nprobe=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # probing more lists can only improve recall
+    wide = ann.ivf_ann(emb, n_queries=5, k=10, n_lists=16, nprobe=16)
+    got_w = {(r["query_vec_id"], r["vec_id"]) for r in wide.collect()}
+    assert len(exact & got_w) >= len(exact & got)
+    assert len(exact & got_w) == len(exact)  # nprobe=all lists == exact

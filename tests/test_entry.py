@@ -23,7 +23,7 @@ def test_oracle_keys_subset_of_queries():
     # LSH candidate generation, approximate kNN) may be rows-only
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "knn_cell_prefix", "ann_lsh", "minhash_candidates", "pip_raycast",
+        "ann_lsh", "ann_ivf", "minhash_candidates",
         "outline_components", "decode_images", "frame_sample",
     }
 

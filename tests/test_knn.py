@@ -19,20 +19,17 @@ def test_exact_matches_crossjoin(spark, sf_dir):
     assert b.exceptAll(a).count() == 0
 
 
-def test_cell_prefix_recall(spark, sf_dir):
+def test_cell_prefix_is_exact(spark, sf_dir):
+    """Adaptive ring expansion certifies global exactness: the
+    cell-index path must equal the exhaustive kNN bit-for-bit, at
+    several index granularities."""
     g = _geocoded(spark, sf_dir)
     q = synth.build_knn_queries(spark)
-    exact = knn.knn_exact(g, q, k=5).select("query_id", "url")
-    n_exact = exact.count()
-    approx0 = knn.knn_cell_prefix(g, q, k=5, prefix_level=2, ring=0) \
-        .select("query_id", "url")
-    approx1 = knn.knn_cell_prefix(g, q, k=5, prefix_level=2, ring=1) \
-        .select("query_id", "url")
-    recall0 = exact.intersect(approx0).count() / n_exact
-    recall1 = exact.intersect(approx1).count() / n_exact
-    # ring expansion must strictly help near cell borders
-    assert recall1 >= recall0
-    assert recall1 >= 0.95  # 3x3 block at level 2 covers the k-NN ball
+    exact = knn.knn_exact(g, q, k=5)
+    for level in (2, 4, 6):
+        idx = knn.knn_cell_prefix(g, q, k=5, prefix_level=level)
+        assert idx.exceptAll(exact).count() == 0, level
+        assert exact.exceptAll(idx).count() == 0, level
 
 
 def test_knn_ranks_dense(spark, sf_dir):
