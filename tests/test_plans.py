@@ -1,0 +1,83 @@
+"""Physical-plan assertions backing PLANS.md's scale claims: shuffles
+counted, pruning verified, codegen confirmed. A regression that adds a
+shuffle or re-reads pruned columns fails HERE, not at 100 TB."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.operators import dedup, pip
+from geotiff_processor_spark.sources import synth
+
+import bench
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    df.collect()  # finalize the AQE plan so codegen ids are annotated
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _exchanges(plan: str) -> list[str]:
+    # AQE wraps exchanges; count distinct shuffle origins
+    return re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning"
+                      r"|Exchange SinglePartition", plan)
+
+
+def _staged_pages(spark, sf_dir):
+    return synth.build_pages_staged(spark, sf_dir, with_html=False)
+
+
+def test_flagship_single_shuffle_and_pruned_scan(spark, sf_dir):
+    """The flagship's ONLY shuffle carries pre-aggregated rows; the
+    parquet scan decodes just the text column."""
+    pages = _staged_pages(spark, sf_dir)
+    job = bench.flagship_pipeline(spark, pages)
+    plan = _plan(job)
+    assert len(_exchanges(plan)) == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).startswith("text"), m
+    assert "codegen id" in _formatted(job)
+
+
+def test_minhash_single_doc_keyed_shuffle(spark, sf_dir):
+    """MinHash signatures: explode + 16 partial-agg mins must produce
+    exactly one hash shuffle (keyed on the doc), nothing else."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = _plan(dedup.minhash_signatures(docs))
+    assert len(_exchanges(plan)) == 1, plan[:2000]
+
+
+def test_tile_pyramid_levels_derive_from_child_level(spark, sf_dir):
+    """Zoom z-1 aggregates zoom z's counts (4 rows in per row out) —
+    each level adds ONE shuffle over shrinking data; no level rescans
+    the pages table with a fresh wide aggregation."""
+    from geotiff_processor_spark.operators import tiling
+    g = synth.geocode(_staged_pages(spark, sf_dir))
+    base = tiling.tile_counts(g, zoom=6)
+    levels = tiling.tile_pyramid_counts(base, down_to_zoom=4)
+    # z4 plan = base shuffle + 2 rollup shuffles
+    assert len(_exchanges(_plan(levels[4]))) == 3
+    assert len(_exchanges(_plan(levels[5]))) == 2
+    assert len(_exchanges(_plan(levels[6]))) == 1
+
+
+def test_general_pip_predicate_in_codegen(spark, sf_dir):
+    """The concave ray-cast CASE must execute inside whole-stage
+    codegen (a janino blowout would silently fall back and 5-10x the
+    cost at scale)."""
+    g = synth.geocode(_staged_pages(spark, sf_dir))
+    out = pip.pip_join_general(g, synth.general_polygon_rows())
+    fm = _formatted(out)
+    assert "codegen id" in fm
+    # the ray-cast Filter itself carries a codegen id (not fallen back)
+    filt = re.search(r"\(\d+\) Filter \[codegen id : \d+\]", fm)
+    assert filt, fm[:1500]
