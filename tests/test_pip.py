@@ -110,3 +110,43 @@ def test_hot_triangle_catches_hot_pages(spark, sf_dir):
     g = _geocoded(spark, sf_dir)
     out = pip.pip_join_general(g, synth.general_polygon_rows())
     assert out.filter(F.col("zone") == "hot_tri").count() > 0
+
+
+def test_raycast_sql_vs_numpy_fuzz():
+    """Property test: the SQL text sql_point_in_ring emits and the numpy
+    kernel must agree on random simple (star-shaped, possibly concave)
+    integer polygons and random probe points — evaluated in DuckDB vs
+    numpy, no Spark needed. Guards the one-formula-three-ways contract."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        # star-shaped simple polygon: sorted angles, random radii
+        n_v = int(rng.integers(3, 9))
+        angles = np.sort(rng.uniform(0, 2 * math.pi, n_v))
+        radii = rng.integers(500, 20000, n_v)
+        cx, cy = int(rng.integers(-50000, 50000)), int(rng.integers(-30000, 30000))
+        xs = [int(cx + r * math.cos(a)) for r, a in zip(radii, angles)]
+        ys = [int(cy + r * math.sin(a)) for r, a in zip(radii, angles)]
+        from geotiff_processor_spark.operators.pip import (
+            _np_point_in_ring,
+            sql_point_in_ring,
+        )
+        px = rng.integers(min(xs) - 1000, max(xs) + 1000, 200).astype(np.int64)
+        py = rng.integers(min(ys) - 1000, max(ys) + 1000, 200).astype(np.int64)
+        got_np = _np_point_in_ring(px, py,
+                                   np.array(xs, dtype=np.int64),
+                                   np.array(ys, dtype=np.int64))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts(lonm BIGINT, latm BIGINT)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)",
+                        [(int(a), int(b)) for a, b in zip(px, py)])
+        expr = sql_point_in_ring("lonm", "latm", xs, ys)
+        got_sql = [bool(r[0]) for r in con.execute(
+            f"SELECT {expr} FROM pts").fetchall()]
+        assert got_sql == got_np.tolist(), (trial, xs, ys)
+        # sanity: some trials must have inside points
+        con.close()
