@@ -12,8 +12,9 @@ Two implementations:
 - ``knn_cell_prefix``: the cell-prefix candidate join from the
   north_star: candidates share a level-p cell prefix with the query
   (parent-prefix property of the hierarchical cell id), ranked per
-  query. Approximate near cell borders unless the prefix ring is
-  expanded; recall is tested in pytest against ``knn_exact``.
+  query. The ring around the query's cell expands adaptively until the
+  k-th distance provably beats anything outside the block — EXACT
+  (pinned equal to ``knn_exact`` in pytest; shares its DuckDB oracle).
 
 Distances are exact bigint squared milli-degree distances — no FP drift
 between engines.

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 def partition_metrics(df: DataFrame, key_cols: list[str],
                       bytes_col: str | None = None) -> DataFrame:
     """(key..., n_rows, n_bytes): byte size from an explicit payload
-    column when given, else the whole-row approximation via to_json."""
+    column when given, else the whole-row approximation via to_json.
+
+    The to_json fallback serializes every row — audit-grain tables
+    only; ALWAYS pass bytes_col on a hot path."""
     size = (
         F.length(F.col(bytes_col)) if bytes_col is not None
         else F.length(F.to_json(F.struct(*df.columns)))
