@@ -247,7 +247,9 @@ def q_ann_ivf(spark, sf_dir):  # rows-only: approximate by design
     return ann.ivf_ann(emb, n_queries=5, k=10, n_lists=16, nprobe=4)
 
 
-def q_minhash_candidates(spark, sf_dir):  # rows-only (LSH banding)
+def q_minhash_candidates(spark, sf_dir):
+    """LSH banding candidate pairs — fully oracle-checked: DuckDB
+    reproduces the signatures, band hashing and bucket self-join."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = dedup.minhash_signatures(docs)
     return dedup.lsh_candidate_pairs(sigs)
@@ -978,6 +980,23 @@ sh AS (
 ),
 hs AS (SELECT doc_id, {h31} AS h31 FROM sh)
 SELECT doc_id, {mins} FROM hs GROUP BY doc_id"""
+    rpb = dedup.N_MINHASH // dedup.N_BANDS
+    band_selects = []
+    for b in range(dedup.N_BANDS):
+        cols = ", ".join(
+            f"cast(mh_{b * rpb + r} as varchar)" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band,"
+            f" md5(concat_ws(':', {cols})) AS sig FROM sigs")
+    sql["minhash_candidates"] = (
+        sql["minhash_sigs"].replace(
+            f"SELECT doc_id, {mins} FROM hs GROUP BY doc_id",
+            f", sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),\n"
+            "bands AS (" + "\nUNION ALL\n".join(band_selects) + ")\n"
+            "SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b\n"
+            "FROM bands a JOIN bands b\n"
+            "  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id")
+    )
     sql["ngram_jaccard"] = (
         "SELECT doc_id AS key_a, doc_id + 100000 AS key_b,"
         " cast(1.0 as double) AS jaccard"

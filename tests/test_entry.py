@@ -23,7 +23,7 @@ def test_oracle_keys_subset_of_queries():
     # LSH candidate generation, approximate kNN) may be rows-only
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "ann_lsh", "ann_ivf", "minhash_candidates",
+        "ann_lsh", "ann_ivf",
         "outline_components", "decode_images", "frame_sample",
     }
 
