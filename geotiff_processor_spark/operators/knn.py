@@ -98,115 +98,142 @@ def knn_crossjoin(geocoded: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     )
 
 
-def _cells_for_block(xq: int, yq: int, ring: int, prefix_level: int
-                     ) -> list[str]:
-    n = 1 << prefix_level
-    cells = []
-    for cx in range(max(0, xq - ring), min(n - 1, xq + ring) + 1):
-        for cy in range(max(0, yq - ring), min(n - 1, yq + ring) + 1):
-            cells.append("".join(
-                str(((cx >> (prefix_level - l)) & 1)
-                    + 2 * ((cy >> (prefix_level - l)) & 1))
-                for l in range(1, prefix_level + 1)))
-    return cells
-
-
 def knn_cell_prefix(geocoded: DataFrame, queries: DataFrame, k: int = 5,
-                    prefix_level: int = 4, max_rounds: int = 8
+                    prefix_level: int = 4, max_rounds: int | None = None
                     ) -> DataFrame:
     """EXACT kNN via the cell hierarchy with adaptive ring expansion.
 
     Round r: candidates = pages whose level-p cell prefix falls in the
-    query's (2r+1)x(2r+1) cell block — one broadcast equi-join on the
-    prefix, no pages shuffle, |Q|*k survivors collected. A query is
-    RESOLVED once it has k candidates and the k-th squared distance is
-    provably smaller than any point outside the block could achieve:
-    every outside point differs by > margin in some axis, where margin
-    is the query's distance to the block's inner edge (domain-clipped
-    sides are unbounded), so ``dk2 < (margin+1)^2`` certifies global
-    exactness. Unresolved queries re-run with a wider ring; typical
-    workloads resolve at r=1, so the candidate volume stays ~|Q| cells
-    of pages rather than the whole table (the reference-style global
-    sort this replaces, SURVEY.md J6/W3).
+    query's (2*ring+1)x(2*ring+1) cell block — one broadcast equi-join
+    on the prefix, no pages shuffle. A query is RESOLVED once it has k
+    candidates and the k-th squared distance is provably smaller than
+    any point outside the block could achieve: every outside point
+    differs by > margin in some axis, where margin is the query's
+    distance to the block's inner edge (domain-clipped sides are
+    unbounded), so ``dk2 < (margin+1)^2`` certifies global exactness.
+
+    Scale shape (unlike the round-2 driver-dict form): ALL per-query
+    state lives in DataFrames — block/margin arithmetic and the cell
+    expansion (explode over sequence()) are native expressions, per-row
+    results never hit the driver, and the only driver-side value per
+    round is the unresolved COUNT (one scalar). |Q| = 10^6 is a
+    broadcast-size question, not a driver-loop question.
+
+    Termination: the ring DOUBLES each round (1, 2, 4, ...), so after
+    ``prefix_level + 1`` rounds the block provably covers the whole
+    2^p x 2^p grid and every query resolves via the full-cover branch —
+    no query can be silently dropped (a RuntimeError guards the
+    invariant). Exact: pinned equal to ``knn_exact`` in pytest and
+    shares its DuckDB oracle.
     """
     from ..functions.geo import LAT_SPAN, LON_SPAN
 
-    spark = geocoded.sparkSession
     n = 1 << prefix_level
     INF = 1 << 60
-    qrows = queries.select("query_id", "qlonm", "qlatm").collect()
-    state = {}
-    for r in qrows:
-        xi = min(max(int(r["qlonm"]) + 180_000, 0), LON_SPAN - 1)
-        yi = min(max(90_000 - int(r["qlatm"]), 0), LAT_SPAN - 1)
-        state[int(r["query_id"])] = {
-            "qlonm": int(r["qlonm"]), "qlatm": int(r["qlatm"]),
-            "xi": xi, "yi": yi,
-            "xq": xi * n // LON_SPAN, "yq": yi * n // LAT_SPAN,
-            "ring": 1,
-        }
+    if max_rounds is None:
+        # rings 1, 2, 4, ..., 2^(max_rounds-1): ring >= n covers the
+        # whole grid regardless of the query cell, so this bound is
+        # sufficient for ANY input distribution
+        max_rounds = prefix_level + 1
+
+    q = queries.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("qlonm").cast("bigint").alias("qlonm"),
+        F.col("qlatm").cast("bigint").alias("qlatm"),
+    ).withColumn(
+        "xi", F.expr(f"least(greatest(qlonm + 180000, 0), {LON_SPAN - 1})")
+    ).withColumn(
+        "yi", F.expr(f"least(greatest(90000 - qlatm, 0), {LAT_SPAN - 1})")
+    ).withColumn(
+        "xq", F.expr(f"cast(floor(xi * {n} / {LON_SPAN}) as bigint)")
+    ).withColumn(
+        "yq", F.expr(f"cast(floor(yi * {n} / {LAT_SPAN}) as bigint)"))
 
     pages_pfx = geocoded.select(
         "url", "lonm", "latm",
         F.substring("cell_id", 1, prefix_level).alias("cell_pfx"))
-    resolved: dict[int, list] = {}
-    unresolved = set(state)
+
+    # quadkey prefix string from block cell coords (same digit rule as
+    # sql_cell_id_from_q: digit_l = bit (p-l) of cx + 2 * bit (p-l) of cy)
+    prefix_expr = "concat(" + ", ".join(
+        f"cast((cx div {1 << (prefix_level - l)}) % 2"
+        f" + 2 * ((cy div {1 << (prefix_level - l)}) % 2) as string)"
+        for l in range(1, prefix_level + 1)) + ")"
+
+    def ceil_div(a: str, b: int) -> str:
+        return f"cast(floor(({a} + {b - 1}) / {b}) as bigint)"
+
+    unresolved = q
+    results: DataFrame | None = None
+    ring = 1
+    remaining = -1
     for _ in range(max_rounds):
-        if not unresolved:
-            break
-        expanded = []
-        for qid in sorted(unresolved):
-            s = state[qid]
-            for cell in _cells_for_block(s["xq"], s["yq"], s["ring"],
-                                         prefix_level):
-                expanded.append((qid, s["qlonm"], s["qlatm"], cell))
-        qdf = spark.createDataFrame(
-            expanded, schema=["query_id", "qlonm", "qlatm", "qcell"])
+        blk = unresolved.select(
+            "*",
+            F.expr(f"greatest(xq - {ring}, 0)").alias("xlo"),
+            F.expr(f"least(xq + {ring}, {n - 1})").alias("xhi"),
+            F.expr(f"greatest(yq - {ring}, 0)").alias("ylo"),
+            F.expr(f"least(yq + {ring}, {n - 1})").alias("yhi"),
+        ).withColumn("margin", F.expr(
+            "least("
+            f"case when xlo > 0 then"
+            f" xi - {ceil_div(f'xlo * {LON_SPAN}', n)} else {INF} end, "
+            f"case when xhi < {n - 1} then"
+            f" {ceil_div(f'(xhi + 1) * {LON_SPAN}', n)} - 1 - xi"
+            f" else {INF} end, "
+            f"case when ylo > 0 then"
+            f" yi - {ceil_div(f'ylo * {LAT_SPAN}', n)} else {INF} end, "
+            f"case when yhi < {n - 1} then"
+            f" {ceil_div(f'(yhi + 1) * {LAT_SPAN}', n)} - 1 - yi"
+            f" else {INF} end)"))
+        cells = (
+            blk.select("query_id", "qlonm", "qlatm", "margin", "ylo", "yhi",
+                       F.explode(F.expr("sequence(xlo, xhi)")).alias("cx"))
+            .select("query_id", "qlonm", "qlatm", "margin", "cx",
+                    F.explode(F.expr("sequence(ylo, yhi)")).alias("cy"))
+            .withColumn("qcell", F.expr(prefix_expr))
+        )
         cand = pages_pfx.join(
-            F.broadcast(qdf), F.col("cell_pfx") == F.col("qcell"))
+            F.broadcast(cells), F.col("cell_pfx") == F.col("qcell"))
         cand = cand.withColumn(
             "dist2", F.expr(sql_dist2_mdeg("lonm", "latm", "qlonm", "qlatm")))
         w = Window.partitionBy("query_id").orderBy("dist2", "url")
         top = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+            .select("query_id", "url",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.col("dist2").cast("bigint").alias("dist2"), "margin")
+        ).persist()
+        # resolution: full domain cover, OR k candidates with the k-th
+        # distance provably inside the block's safe radius. The bound is
+        # NULL on full-cover rows so the bigint square never overflows.
+        stats = top.groupBy("query_id", "margin").agg(
+            F.count(F.lit(1)).alias("n_cand"), F.max("dist2").alias("dk2"))
+        part_done = stats.filter(
+            (F.col("n_cand") == k)
+            & (F.col("dk2") < F.expr(
+                f"case when margin < {INF}"
+                " then (margin + 1) * (margin + 1) end"))
+        ).select("query_id")
+        full_done = blk.filter(F.col("margin") >= INF).select("query_id")
+        done = part_done.unionByName(full_done).distinct().persist()
+        res = top.join(done, "query_id") \
             .select("query_id", "url", "rank", "dist2")
-        ).collect()
-        by_q: dict[int, list] = {}
-        for row in top:
-            by_q.setdefault(int(row["query_id"]), []).append(row)
-        for qid in list(unresolved):
-            s = state[qid]
-            rows = by_q.get(qid, [])
-            ring = s["ring"]
-            xlo, xhi = max(0, s["xq"] - ring), min(n - 1, s["xq"] + ring)
-            ylo, yhi = max(0, s["yq"] - ring), min(n - 1, s["yq"] + ring)
-            # inner xi/yi bounds of the block (cell c covers
-            # [ceil(c*S/n), ceil((c+1)*S/n) - 1])
-            def ceil_div(a: int, b: int) -> int:
-                return -(-a // b)
-
-            mx_l = (s["xi"] - ceil_div(xlo * LON_SPAN, n)
-                    if xlo > 0 else INF)
-            mx_r = (ceil_div((xhi + 1) * LON_SPAN, n) - 1 - s["xi"]
-                    if xhi < n - 1 else INF)
-            my_l = (s["yi"] - ceil_div(ylo * LAT_SPAN, n)
-                    if ylo > 0 else INF)
-            my_r = (ceil_div((yhi + 1) * LAT_SPAN, n) - 1 - s["yi"]
-                    if yhi < n - 1 else INF)
-            margin = min(mx_l, mx_r, my_l, my_r)
-            full_cover = margin >= INF
-            if len(rows) == k and (full_cover
-                                   or int(rows[-1]["dist2"])
-                                   < (margin + 1) ** 2):
-                resolved[qid] = rows
-                unresolved.discard(qid)
-            elif full_cover:  # whole domain scanned, fewer than k pages
-                resolved[qid] = rows
-                unresolved.discard(qid)
-            else:
-                s["ring"] += 1
-    out = [(qid, r["url"], int(r["rank"]), int(r["dist2"]))
-           for qid, rows in resolved.items() for r in rows]
-    return spark.createDataFrame(
-        out, schema="query_id bigint, url string, rank bigint, dist2 bigint")
+        results = res if results is None else results.unionByName(res)
+        # localCheckpoint truncates the round-over-round lineage — the
+        # anti-join references the previous round's plan twice, so
+        # without truncation the plan TREE doubles per round (driver
+        # OOM on generateTreeString by round ~7)
+        unresolved = unresolved.join(done, "query_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        remaining = unresolved.count()
+        if remaining == 0:
+            break
+        ring *= 2
+    if remaining != 0:
+        raise RuntimeError(
+            f"knn_cell_prefix: {remaining} queries unresolved after"
+            f" {max_rounds} rounds — max_rounds must cover the grid"
+            " (ring doubling makes this unreachable for the default)")
+    return results

@@ -168,10 +168,12 @@ def _component_geojson(comp: set[tuple[int, int]]) -> str:
 def _component_rows(grp: str, comps: list[set], min_cells: int,
                     numbered: bool = True) -> list[tuple]:
     rows = []
-    ordered = sorted(comps, key=lambda s: min(s))
+    # minimum_area filter (params.py:50) BEFORE enumeration: surviving
+    # components get dense ids, matching the tiled plan's row_number()
+    # over surviving traces (skipped components must not consume ids)
+    ordered = sorted((c for c in comps if len(c) >= min_cells),
+                     key=lambda s: min(s))
     for cid, comp in enumerate(ordered):
-        if len(comp) < min_cells:
-            continue  # minimum_area filter (params.py:50)
         xs = [c[0] for c in comp]
         ys = [c[1] for c in comp]
         rows.append((grp, cid if numbered else -1, len(comp),
@@ -362,7 +364,9 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
             "component_id", (F.row_number().over(w) - 1).cast("bigint"))
         .select(*OUTLINE_COLS)
     )
-    labeled.unpersist()
+    # NOTE: `labeled` stays cached until the session drops it (LRU) — an
+    # eager unpersist here would evict the stage-A result before the
+    # returned (lazy) DataFrame ever materializes, forcing a recompute.
     return out
 
 

@@ -108,6 +108,11 @@ def sql_point_in_ring(lonm: str, latm: str,
         terms.append(
             f"(case when (({y1} <= ({latm})) <> ({y2} <= ({latm})))"
             f" and {t} {op} 0 then 1 else 0 end)")
+    if not terms:
+        # degenerate ring (every edge horizontal): zero area, nothing is
+        # inside — agree with _np_point_in_ring instead of emitting the
+        # unparseable '(() % 2 = 1)'
+        return "(1 = 0)"
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 

@@ -151,3 +151,23 @@ def test_min_cells_filter(spark, sf_dir):
     g = synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
     big = outline.cell_outlines(g, group_col="lang", level=6, min_cells=3)
     assert big.filter(F.col("n_cells") < 3).count() == 0
+
+
+def test_tiled_matches_grouped_with_min_cells(spark, sf_dir):
+    """min_cells > 1 numbering contract: both plans must assign DENSE
+    component ids to the surviving components (skipped small components
+    must not consume ids in either plan)."""
+    g = synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+    for mc in (2, 4):
+        tiled = outline.cell_outlines(g, group_col="lang", level=6,
+                                      min_cells=mc)
+        grouped = outline.cell_outlines_grouped(g, group_col="lang",
+                                                level=6, min_cells=mc)
+        assert tiled.exceptAll(grouped).count() == 0, mc
+        assert grouped.exceptAll(tiled).count() == 0, mc
+    # ids are dense 0..n-1 per group
+    rows = tiled.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.min("component_id").alias("mn"),
+        F.max("component_id").alias("mx")).collect()
+    for r in rows:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1, r

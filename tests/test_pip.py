@@ -150,3 +150,25 @@ def test_raycast_sql_vs_numpy_fuzz():
         assert got_sql == got_np.tolist(), (trial, xs, ys)
         # sanity: some trials must have inside points
         con.close()
+
+
+def test_degenerate_horizontal_ring_sql_parses():
+    """A ring whose every edge is horizontal (zero area) must emit VALID
+    SQL that evaluates to false — agreeing with the numpy kernel —
+    instead of the unparseable '(() % 2 = 1)'."""
+    import duckdb
+    import numpy as np
+
+    from geotiff_processor_spark.operators.pip import (
+        _np_point_in_ring,
+        sql_point_in_ring,
+    )
+
+    xs, ys = [0, 10, 20], [5, 5, 5]  # collinear horizontal ring
+    expr = sql_point_in_ring("3", "5", xs, ys)
+    got = duckdb.sql(f"SELECT {expr} AS inside").fetchone()[0]
+    assert got is False
+    np_got = _np_point_in_ring(
+        np.array([3]), np.array([5]),
+        np.array(xs, dtype=np.int64), np.array(ys, dtype=np.int64))
+    assert not np_got[0]
