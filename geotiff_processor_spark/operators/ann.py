@@ -104,12 +104,18 @@ def cosine_topk_numpy(embeddings: DataFrame, query_mat: np.ndarray,
     )
 
 
+def srp_planes(dim: int, bits: int, seed: int, table: int) -> np.ndarray:
+    """Deterministic SRP hyperplanes — the ONE source of truth shared by
+    the Spark operator and the DuckDB oracle (sql_srp_bucket)."""
+    rng = np.random.default_rng(seed + 1000 * table)
+    return rng.standard_normal((bits, dim))
+
+
 def srp_signature(embeddings: DataFrame, dim: int = 64,
                   bits: int = 8, seed: int = 42, table: int = 0) -> DataFrame:
     """Sign-random-projection bucket id: deterministic hyperplanes from a
     seeded RNG, dot products as native fold expressions."""
-    rng = np.random.default_rng(seed + 1000 * table)
-    planes = rng.standard_normal((bits, dim))
+    planes = srp_planes(dim, bits, seed, table)
     sig = None
     for j in range(bits):
         plane = [float(v) for v in planes[j]]
@@ -304,3 +310,154 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .select("query_vec_id", "vec_id",
                 F.col("rank").cast("bigint").alias("rank"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders: the SRP planes and IVF centroids are
+# deterministic, so they inline as SQL literals — the oracle reproduces
+# the FULL approximate result set, not just a recall proxy.
+# ---------------------------------------------------------------------------
+
+def sql_dot_literal(emb: str, plane: np.ndarray) -> str:
+    """Left-associated double dot product against a literal vector —
+    bit-identical to the Spark fold (aggregate starts at 0.0; 0.0 + x1
+    == x1 exactly, and both engines then add left-to-right)."""
+    return "(" + " + ".join(
+        f"cast({emb}[{i + 1}] as double) * {float(plane[i])!r}"
+        for i in range(len(plane))) + ")"
+
+
+def sql_srp_bucket(emb: str, dim: int, bits: int, seed: int,
+                   table: int) -> str:
+    """SRP bucket id of ``srp_signature`` as DuckDB SQL with the SAME
+    hyperplanes (srp_planes) inlined as literals."""
+    planes = srp_planes(dim, bits, seed, table)
+    return "(" + " + ".join(
+        f"(case when {sql_dot_literal(emb, planes[j])} > 0"
+        f" then {1 << j} else 0 end)"
+        for j in range(bits)) + ")"
+
+
+# list_sum-based cosine pieces (proven hash-matching at round 6 by the
+# ann_cosine oracle since round 1)
+_SQL_DOT = ("list_sum(list_transform(range(1, {d1}),"
+            " i -> cast({a}[i] as double) * cast({b}[i] as double)))")
+
+
+def _sql_cos(a: str, b: str, dim: int) -> str:
+    dot = _SQL_DOT.format(d1=dim + 1, a=a, b=b)
+    na = (f"sqrt(list_sum(list_transform({a},"
+          " x -> cast(x as double) * cast(x as double))))")
+    nb = (f"sqrt(list_sum(list_transform({b},"
+          " x -> cast(x as double) * cast(x as double))))")
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def oracle_sql_lsh_ann(n_queries: int = 5, k: int = 10, dim: int = 64,
+                       bits: int = 4, n_tables: int = 8,
+                       seed: int = 42) -> str:
+    """DuckDB SQL reproducing ``lsh_bucket_ann`` exactly: per-table
+    bucket signatures (plane literals), bucket-equality candidate join,
+    distinct candidates, cosine round 6, rank <= k."""
+    sig_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, {t} AS tbl,"
+        f" {sql_srp_bucket('embedding', dim, bits, seed, t)} AS bucket"
+        " FROM embeddings"
+        for t in range(n_tables))
+    return f"""
+WITH sig AS (
+{sig_selects}
+),
+q AS (
+  SELECT vec_id AS query_vec_id, embedding AS q_emb, tbl, bucket
+  FROM sig WHERE vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT s.vec_id, s.embedding, q.query_vec_id, q.q_emb
+  FROM sig s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id <> q.query_vec_id
+),
+sims AS (
+  SELECT query_vec_id, vec_id,
+    {_sql_cos('embedding', 'q_emb', dim)} AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, vec_id, cast(rnk as bigint) AS rank, cos_sim
+FROM ranked WHERE rnk <= {k}"""
+
+
+def load_sample_embeddings(sf_dir: str, sample_rows: int = 256) -> np.ndarray:
+    """Driver/oracle-side: the deterministic k-means sample (vec_id <
+    sample_rows, vec_id order) as float64 — identical to what
+    ``ivf_ann`` collects through Spark (float32 -> float64 is exact)."""
+    import duckdb as _duckdb
+
+    rows = _duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+        f" WHERE vec_id < {sample_rows} ORDER BY vec_id").fetchall()
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def oracle_sql_ivf_ann(sf_dir: str, n_queries: int = 5, k: int = 10,
+                       n_lists: int = 16, nprobe: int = 4,
+                       sample_rows: int = 256, dim: int = 64) -> str:
+    """DuckDB SQL reproducing ``ivf_ann`` exactly: the deterministic
+    k-means centroids (same numpy code, same sample) inline as literals;
+    assignment = rank-1 centroid by dot (ties to lowest list_id, the
+    np.argmax rule), probes = top-nprobe centroids per query, then exact
+    cosine top-k over the probed lists only.
+
+    ``sf_dir`` must be the directory the driver runs the correctness
+    gate at (sf0.01) — the centroids are data-derived.
+    """
+    cents = _kmeans_centroids(load_sample_embeddings(sf_dir, sample_rows),
+                              n_lists)
+    vals = ",\n    ".join(
+        "({}, [{}])".format(
+            j, ", ".join(repr(float(v)) for v in cents[j]))
+        for j in range(n_lists))
+    cdot = _SQL_DOT.format(d1=dim + 1, a="e.embedding", b="c.cvec")
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES
+    {vals}
+  ) AS t(list_id, cvec)
+),
+arank AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {cdot} DESC, c.list_id) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, embedding, list_id FROM arank WHERE rnk = 1),
+qrank AS (
+  SELECT e.vec_id AS query_vec_id, e.embedding AS q_emb, c.list_id,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {cdot} DESC, c.list_id) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < {n_queries}
+),
+probes AS (SELECT query_vec_id, q_emb, list_id FROM qrank
+           WHERE rnk <= {nprobe}),
+cand AS (
+  SELECT p.query_vec_id, p.q_emb, a.vec_id, a.embedding
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_vec_id
+),
+sims AS (
+  SELECT query_vec_id, vec_id,
+    {_sql_cos('embedding', 'q_emb', dim)} AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, vec_id, cast(rnk as bigint) AS rank, cos_sim
+FROM ranked WHERE rnk <= {k}"""

@@ -1,27 +1,31 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct — the Spark-side plumbing (schema, partitioning, Arrow
-batch shape, UDF signatures) is real and tested; the actual codec step
-is STUBBED (no image/audio libraries in this container) behind either
-``NotImplementedError`` (strict mode) or a deterministic fake decoder.
+metadata struct. PNG payloads decode for REAL via the pure-python/numpy
+codec in ``functions.png`` (stdlib zlib — no PIL/libjpeg needed; the
+round-2 "stubbed codec" slot is now live). Non-PNG payloads fall back
+to a deterministic fake decoder (default) or raise (strict mode) —
+that slot is where libjpeg/ffmpeg would plug in on a real cluster.
 
 Operators:
 - ``extract_media_meta``: sniff magic bytes + sizes from the binary
   column — native expressions only (substring on binary), no Python.
-- ``decode_images``: mapInPandas batch decoder. Strict=real-codec path
-  (raises NotImplementedError at task level); default=deterministic
-  fake (payload-hash-seeded HxWx3 stats) exercising the identical
-  Arrow batch shape a PIL/libjpeg decoder would use.
-- ``thumbnail_stats``: "resize" analog — block-average the fake pixel
-  grid to a fixed thumbnail, emit per-channel means (the reference's
+- ``decode_images``: mapInPandas batch decoder — real PNG decode where
+  the magic matches, fake/strict elsewhere; emits (h, w, mean RGB),
+  the post-decode feature extraction of a training pipeline.
+- ``thumbnail_stats``: "resize" analog — block-average the pixel grid
+  to a fixed thumbnail, emit per-channel means (the reference's
   preview downsample, /root/reference/export_formats/previews.py:24-39).
 - ``frame_sample``: 1:N UDTF-shaped sampler for video-like payloads —
-  emits every k-th frame index with a deterministic frame fingerprint.
+  emits every k-th frame index with a deterministic frame fingerprint
+  (sha256(payload || ':' || idx) — ASCII-safe so the DuckDB oracle
+  reproduces it).
 
 Scale notes: payloads never shuffle (all ops are map-side; aggregations
 happen on extracted features); binary columns stay columnar in parquet
-and are pruned unless referenced.
+and are pruned unless referenced. The per-payload loop inside the
+decode kernel is inherent to codec work (each payload is one compressed
+stream); the batch boundary is still Arrow-columnar.
 """
 
 from __future__ import annotations
@@ -80,28 +84,35 @@ def decode_images(df: DataFrame, payload_col: str = "html",
     """Batch image decode via mapInPandas (Arrow-vectorized transfer).
 
     Returns (key, height, width, mean_r, mean_g, mean_b) — the feature
-    extraction a training pipeline runs post-decode. With strict=True
-    raises NotImplementedError (the real-codec slot: PIL/libjpeg would
-    plug in here with an identical signature).
+    extraction a training pipeline runs post-decode. PNG payloads
+    decode for real (functions.png: zlib inflate + numpy unfilter);
+    other payload kinds use the deterministic fake decoder, or raise
+    with strict=True (the slot where libjpeg/ffmpeg would plug in).
     """
     strict = STRICT_DECODE if strict is None else strict
     schema = (f"{key_col} string, height int, width int,"
               " mean_r double, mean_g double, mean_b double")
 
     def decode(batches):
-        if strict:
-            raise NotImplementedError(
-                "real image codec unavailable in this container; "
-                "plug PIL/libjpeg into _fake_decode's slot")
+        from ..functions.png import decode_png
         for pdf in batches:
             keys = pdf[key_col].tolist()
             out = {key_col: keys, "height": [], "width": [],
                    "mean_r": [], "mean_g": [], "mean_b": []}
             for payload in pdf[payload_col]:
-                img = _fake_decode(bytes(payload), h, w)
+                p = bytes(payload)
+                if p[:4] == b"\x89PNG":
+                    img = decode_png(p)[:, :, :3]
+                elif strict:
+                    raise ValueError(
+                        f"no codec for payload magic {p[:4]!r}: only the"
+                        " built-in PNG codec is available in this"
+                        " container (libjpeg/ffmpeg slot)")
+                else:
+                    img = _fake_decode(p, h, w)
                 means = img.reshape(-1, 3).mean(axis=0)
-                out["height"].append(h)
-                out["width"].append(w)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
                 out["mean_r"].append(float(means[0]))
                 out["mean_g"].append(float(means[1]))
                 out["mean_b"].append(float(means[2]))
@@ -145,7 +156,9 @@ def frame_sample(df: DataFrame, payload_col: str = "html",
                  every: int = 4) -> DataFrame:
     """Video frame-sampling analog: treat the payload as an n_frames
     sequence, emit every `every`-th frame with a deterministic
-    fingerprint (sha256(payload || frame_idx))."""
+    fingerprint sha256(payload || ':' || ascii(frame_idx)) — the index
+    suffix is ASCII (not packed bytes) so DuckDB's VARCHAR-only sha256
+    reproduces it and the query is hash-match oracle-checkable."""
     schema = f"{key_col} string, frame_idx int, frame_sha string"
 
     def sample(batches):
@@ -157,7 +170,7 @@ def frame_sample(df: DataFrame, payload_col: str = "html",
                     keys.append(key)
                     idxs.append(i)
                     shas.append(hashlib.sha256(
-                        p + i.to_bytes(4, "big")).hexdigest()[:16])
+                        p + b":" + str(i).encode()).hexdigest()[:16])
             yield pd.DataFrame(
                 {key_col: keys, "frame_idx": idxs, "frame_sha": shas})
 

@@ -382,3 +382,86 @@ def knn_queries_cte() -> str:
         "knn_queries AS (\n  SELECT * FROM (VALUES\n    " + vals +
         "\n  ) AS t(query_id, qlonm, qlatm)\n)"
     )
+
+
+# ---------------------------------------------------------------------------
+# media table: REAL tiny PNG payloads (multimodal decode path)
+# ---------------------------------------------------------------------------
+
+MEDIA_SIZE = 8  # 8x8 RGB
+
+# per-channel pixel formula (shared with the oracle): pure integer
+# arithmetic in i (=event_id), x, y — so mean-RGB is SQL-expressible
+MEDIA_CHANNEL_COEFS = ((7, 3, 5), (11, 5, 7), (13, 7, 3))
+
+
+def sql_media_mean(channel: int) -> str:
+    """Exact mean of one 8x8 channel as SQL over (i, x, y) rows:
+    sum(int) / 64 is exact in double (power-of-two divisor)."""
+    ci, cx, cy = MEDIA_CHANNEL_COEFS[channel]
+    return (f"(cast(sum((i * {ci} + x * {cx} + y * {cy}) % 256) as double)"
+            f" / {MEDIA_SIZE * MEDIA_SIZE})")
+
+
+def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, png) — png is a REAL 8x8 RGB PNG (functions.png encoder)
+    whose pixels derive from the event id with integer arithmetic, so
+    the decode chain is end-to-end oracle-checkable: DuckDB recomputes
+    the channel means straight from the formula while the engine gets
+    them by actually decoding the bytes."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.png import encode_png
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = events.select(F.col("event_id").alias("i"),
+                         F.expr(SQL_URL).alias("url"))
+    S = MEDIA_SIZE
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:S, 0:S]
+        for pdf in batches:
+            payloads = []
+            for i in pdf["i"].to_numpy(np.int64):
+                img = np.stack([
+                    (i * ci + xx * cx + yy * cy) % 256
+                    for ci, cx, cy in MEDIA_CHANNEL_COEFS
+                ], axis=-1).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"url": pdf["url"], "png": payloads})
+
+    return base.mapInPandas(gen, "url string, png binary")
+
+
+def build_media_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_media materialized once per sf_dir (same staging rationale
+    as build_pages_staged — payload synthesis never re-runs per query)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    fps = []
+    for p in ([ev] if os.path.isfile(ev) else
+              sorted(os.path.join(ev, f) for f in os.listdir(ev))
+              if os.path.isdir(ev) else []):
+        st = os.stat(p)
+        fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha256(
+        f"{sf_dir}|media|{';'.join(fps)}|v1".encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"gps_media_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        media = build_media(spark, sf_dir)
+        (media.repartition(max(8, spark.sparkContext.defaultParallelism))
+         .write.mode("overwrite").parquet(tmp))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)

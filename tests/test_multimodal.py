@@ -55,7 +55,7 @@ def test_frame_sample_matches_local_hash(spark, sf_dir):
     for r in fs:
         expect = hashlib.sha256(
             payloads[r["url"]]
-            + int(r["frame_idx"]).to_bytes(4, "big")).hexdigest()[:16]
+            + b":" + str(int(r["frame_idx"])).encode()).hexdigest()[:16]
         assert r["frame_sha"] == expect
 
 
@@ -69,9 +69,9 @@ def test_binary_column_pruned_when_unused(spark, sf_dir, tmp_path):
     assert "html" not in plan
 
 def test_strict_mode_raises_codec_contract(spark, sf_dir):
-    """The real-codec slot: strict mode must surface NotImplementedError
-    from the executor (documented container limitation — PIL/libjpeg
-    absent; the Arrow plumbing around the slot is the tested part)."""
+    """The libjpeg/ffmpeg slot: strict mode must surface a codec error
+    from the executor for payload kinds the built-in PNG codec does not
+    cover (html here) — no silent fake fallback."""
     import pytest
     from geotiff_processor_spark.operators import multimodal
     from geotiff_processor_spark.sources import synth as _synth
@@ -79,5 +79,26 @@ def test_strict_mode_raises_codec_contract(spark, sf_dir):
     out = multimodal.decode_images(pages, strict=True)
     with pytest.raises(Exception) as ei:
         out.collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError)
+    assert "no codec" in str(ei.value)
+
+
+def test_strict_mode_decodes_real_png(spark, sf_dir):
+    """PNG payloads decode for REAL under strict mode: means equal the
+    integer pixel formula of the media table."""
+    from geotiff_processor_spark.sources import synth as _synth
+    media = _synth.build_media(spark, sf_dir).limit(16)
+    rows = multimodal.decode_images(
+        media, payload_col="png", key_col="url", strict=True).collect()
+    assert len(rows) == 16
+    import re
+
+    import numpy as np
+    S = _synth.MEDIA_SIZE
+    yy, xx = np.mgrid[0:S, 0:S]
+    for r in rows:
+        i = int(re.search(r"p/(\d+)$", r["url"]).group(1))
+        for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            ci, cx, cy = _synth.MEDIA_CHANNEL_COEFS[ch]
+            expect = float(((i * ci + xx * cx + yy * cy) % 256).mean())
+            assert r[col] == expect, (r["url"], col)
+        assert r["height"] == S and r["width"] == S
