@@ -364,6 +364,18 @@ def q_outline_components(spark, sf_dir):
                       "min_x", "min_y", "max_x", "max_y")
 
 
+def q_outline_multipolygon(spark, sf_dir):
+    """Reference-exact outline document: ONE merged MultiPolygon feature
+    per group (outlines.py:79-128 semantics). The driver oracle checks
+    the per-group component/cell counts (recursive-CTE CC); the full
+    document is golden-pinned in pytest (feature_json is not
+    SQL-expressible, so it stays out of the hash-compared columns)."""
+    o = outline.cell_outlines(_geocoded(spark, sf_dir),
+                              group_col="lang", level=6)
+    mp = outline.multipolygon_features(o, gsd=0.2)
+    return mp.select("grp", "n_components", "n_cells_total")
+
+
 def q_outline_cellstats(spark, sf_dir):
     """Oracle-checkable slice of the outline chain: per-group occupied
     cell counts + bbox (components themselves are not SQL-expressible)."""
@@ -671,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "preview_math": q_preview_math,
         "outline_components": q_outline_components,
+        "outline_multipolygon": q_outline_multipolygon,
         "outline_cellstats": q_outline_cellstats,
         "media_meta": q_media_meta,
         "decode_images": q_decode_images,
@@ -938,41 +951,16 @@ FROM ranked WHERE rnk <= 10"""
     # min-label propagation along 4-neighbor edges; the component label
     # min(cx * 1e6 + cy) IS the component's lexicographically smallest
     # cell, so row_number over it reproduces the engine's component_id
-    sql["outline_components"] = f"""
-WITH RECURSIVE {synth.geocoded_cte('duckdb')},
-cells AS (
-  SELECT DISTINCT lang AS grp,
-    cast(floor(least(greatest(lonm + 180000, 0), 359999)
-      * {n64} / 360000) as bigint) AS cx,
-    cast(floor(least(greatest(90000 - latm, 0), 179999)
-      * {n64} / 180000) as bigint) AS cy
-  FROM geocoded
-),
-edges AS (
-  SELECT a.grp, a.cx, a.cy, b.cx AS nx, b.cy AS ny
-  FROM cells a JOIN cells b ON a.grp = b.grp
-   AND ((abs(a.cx - b.cx) = 1 AND a.cy = b.cy)
-     OR (a.cx = b.cx AND abs(a.cy - b.cy) = 1))
-),
-cc AS (
-  SELECT grp, cx, cy, cx * 1000000 + cy AS lbl FROM cells
-  UNION
-  SELECT e.grp, e.nx AS cx, e.ny AS cy, c.lbl
-  FROM cc c JOIN edges e ON c.grp = e.grp AND c.cx = e.cx AND c.cy = e.cy
-  WHERE c.lbl < e.nx * 1000000 + e.ny
-),
-lab AS (SELECT grp, cx, cy, min(lbl) AS comp FROM cc GROUP BY 1, 2, 3),
-comps AS (
-  SELECT grp, comp, count(*) AS n_cells,
-    min(cx) AS min_x, min(cy) AS min_y,
-    max(cx) + 1 AS max_x, max(cy) + 1 AS max_y
-  FROM lab GROUP BY 1, 2
-)
+    sql["outline_components"] = _outline_cc_sql(f"""
 SELECT grp,
   cast(row_number() OVER (PARTITION BY grp ORDER BY comp) - 1 as bigint)
     AS component_id,
   n_cells, min_x, min_y, max_x, max_y
-FROM comps"""
+FROM comps""")
+    sql["outline_multipolygon"] = _outline_cc_sql("""
+SELECT grp, count(*) AS n_components,
+  cast(sum(n_cells) as bigint) AS n_cells_total
+FROM comps GROUP BY grp""")
     sql["outline_cellstats"] = _with_geo(
         f"""
 cells AS (
@@ -1191,6 +1179,45 @@ k AS (
         " FROM k GROUP BY ROLLUP (lang, kind)",
     )
     return sql
+
+
+def _outline_cc_sql(final_select: str) -> str:
+    """Recursive-CTE connected components over the level-6 occupied-cell
+    grid (shared by the outline_components / outline_multipolygon
+    oracles): min-label propagation along 4-neighbor edges until
+    fixpoint, then per-component stats in `comps`."""
+    n64 = 1 << 6
+    return f"""
+WITH RECURSIVE {synth.geocoded_cte('duckdb')},
+cells AS (
+  SELECT DISTINCT lang AS grp,
+    cast(floor(least(greatest(lonm + 180000, 0), 359999)
+      * {n64} / 360000) as bigint) AS cx,
+    cast(floor(least(greatest(90000 - latm, 0), 179999)
+      * {n64} / 180000) as bigint) AS cy
+  FROM geocoded
+),
+edges AS (
+  SELECT a.grp, a.cx, a.cy, b.cx AS nx, b.cy AS ny
+  FROM cells a JOIN cells b ON a.grp = b.grp
+   AND ((abs(a.cx - b.cx) = 1 AND a.cy = b.cy)
+     OR (a.cx = b.cx AND abs(a.cy - b.cy) = 1))
+),
+cc AS (
+  SELECT grp, cx, cy, cx * 1000000 + cy AS lbl FROM cells
+  UNION
+  SELECT e.grp, e.nx AS cx, e.ny AS cy, c.lbl
+  FROM cc c JOIN edges e ON c.grp = e.grp AND c.cx = e.cx AND c.cy = e.cy
+  WHERE c.lbl < e.nx * 1000000 + e.ny
+),
+lab AS (SELECT grp, cx, cy, min(lbl) AS comp FROM cc GROUP BY 1, 2, 3),
+comps AS (
+  SELECT grp, comp, count(*) AS n_cells,
+    min(cx) AS min_x, min(cy) AS min_y,
+    max(cx) + 1 AS max_x, max(cy) + 1 AS max_y
+  FROM lab GROUP BY 1, 2
+)
+{final_select}"""
 
 
 def _hillshade_oracle(raster_valid: str) -> str:

@@ -416,3 +416,54 @@ def feature_collections(outlines: DataFrame, gsd: float = 0.2,
             ).alias("feature_collection"),
         )
     )
+
+
+def multipolygon_features(outlines: DataFrame, gsd: float = 0.2,
+                          date: str | None = None) -> DataFrame:
+    """Reference-exact outline document: merge each group's surviving
+    components into ONE MultiPolygon and emit ONE Feature per group —
+    the reference collects every polygonized geometry into a single
+    ogr MultiPolygon, repairs and simplifies the *merged* geometry, and
+    writes one feature per processed map
+    (``/root/reference/export_formats/outlines.py:79-99,104-128``).
+
+    Here each component's rings are already exactly simplified
+    (rectilinear collinear-vertex drop == Simplify on axis-aligned
+    rings) and mutually disjoint by construction (disjoint cell sets),
+    so the merged MultiPolygon is valid without a Buffer(0) repair —
+    the repair step the reference needs exists because ogr unions can
+    self-touch; the union of disjoint valid polygons cannot.
+
+    Output: (grp, n_components, n_cells_total, feature_json) with
+    polygons ordered by component_id. The counts are oracle-checkable
+    (recursive-CTE connected components); the document is golden-pinned.
+    """
+    polys = outlines.select(
+        "grp", "component_id", "n_cells",
+        F.get_json_object("ring_geojson", "$.coordinates").alias("coords"))
+    agg = polys.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(F.struct("component_id", "coords"))).alias("cl"),
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("n_cells").alias("n_cells_total"),
+    )
+    props = F.struct(
+        F.col("grp").alias("map_id"),
+        F.lit(gsd).alias("gsd"),
+        F.lit(date).alias("date"),
+        F.col("n_components").alias("n_components"),
+        F.col("n_cells_total").alias("n_cells_total"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n_components").cast("bigint").alias("n_components"),
+        F.col("n_cells_total").cast("bigint").alias("n_cells_total"),
+        F.concat(
+            F.lit('{"type":"Feature","properties":'),
+            F.to_json(props),
+            F.lit(',"geometry":{"type":"MultiPolygon","coordinates":['),
+            F.array_join(F.transform(F.col("cl"), lambda s: s["coords"]),
+                         ","),
+            F.lit("]}}"),
+        ).alias("feature_json"),
+    )

@@ -33,7 +33,9 @@ def test_parquet_golden(spark, sf_dir, name):
 
 
 def test_outline_geojson_golden(spark, sf_dir):
-    rows = entrymod.queries()["outline_components"](spark, sf_dir) \
+    from geotiff_processor_spark.operators import outline as ol
+    rows = ol.cell_outlines(entrymod._geocoded(spark, sf_dir),
+                            group_col="lang", level=6) \
         .orderBy("grp", "component_id").collect()
     with open(os.path.join(GOLDEN_DIR, "outline.geojson")) as f:
         want = json.load(f)
@@ -49,6 +51,25 @@ def test_quantities_golden(spark, sf_dir):
     got = ",".join(str(round(row[f"break_{i + 1}"], 6)) for i in range(7))
     with open(os.path.join(GOLDEN_DIR, "quantities.txt")) as f:
         assert got == f.read().strip()
+
+
+def test_multipolygon_feature_golden(spark):
+    """Reference-exact merged document (outlines.py:79-128): ONE Feature
+    per group whose geometry is the MultiPolygon of all components
+    (holes included), byte-exact against the committed golden."""
+    from geotiff_processor_spark.operators import outline as ol
+    from geotiff_processor_spark.testing import donut_pages_fixture
+    o = ol.cell_outlines(donut_pages_fixture(spark), group_col="g", level=6)
+    got = ol.multipolygon_features(o, gsd=0.2, date="2026-01-01") \
+        .first()["feature_json"]
+    with open(os.path.join(GOLDEN_DIR, "multipolygon_feature.json")) as f:
+        want = f.read()
+    assert got == want
+    doc = json.loads(got)
+    assert doc["geometry"]["type"] == "MultiPolygon"
+    # every component polygon present, ordered by component_id
+    assert len(doc["geometry"]["coordinates"]) \
+        == doc["properties"]["n_components"]
 
 
 def test_feature_collection_golden(spark):
