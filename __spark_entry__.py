@@ -650,6 +650,25 @@ def q_rollup_counts(spark, sf_dir):
     )
 
 
+def q_reproject_utm(spark, sf_dir):
+    """Arbitrary-CRS ingest: UTM zone-21S grid coords -> lon/lat via the
+    closed-form Krueger-series inverse transverse Mercator (the engine's
+    analog of the reference's osr.SpatialReference ingest +
+    EPSG:3857 warp, helpers.py:45-48 / geoserverDEM.py:34-38).  Pure
+    native expressions — one whole-stage-codegen projection, no UDF."""
+    import os
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = events.select(F.col("event_id").alias("i")).select(
+        F.expr(synth.SQL_URL).alias("url"),
+        F.expr(f"cast({R.SQL_UTM_EASTING} as bigint)").alias("e_utm"),
+        F.expr(f"cast({R.SQL_UTM_NORTHING} as bigint)").alias("n_utm"),
+    )
+    return R.reproject_utm(src, "e_utm", "n_utm", zone=21, south=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count": q_pip_count,
@@ -703,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "adaptive_gsd": q_adaptive_gsd,
         "metadata_map": q_metadata_map,
+        "reproject_utm": q_reproject_utm,
     }
 
 
@@ -1178,6 +1198,17 @@ k AS (
         " coalesce(kind, '<all>') AS kind, count(*) AS n_pages"
         " FROM k GROUP BY ROLLUP (lang, kind)",
     )
+    from geotiff_processor_spark.functions import reproject as R
+
+    sql["reproject_utm"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
+u0 AS (
+  SELECT {synth.SQL_URL} AS url,
+    cast({R.SQL_UTM_EASTING} as bigint) AS e_utm,
+    cast({R.SQL_UTM_NORTHING} as bigint) AS n_utm
+  FROM p0
+),
+{R.utm_inverse_cte('u0', ['url'], zone=21, south=True)}
+SELECT url, e_utm, n_utm, lon, lat FROM utm_ll"""
     return sql
 
 

@@ -36,11 +36,14 @@ downsample, process.py:172-182).
 from __future__ import annotations
 
 import json
+import logging
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 OUTLINE_SCHEMA = ("grp string, component_id bigint, n_cells bigint,"
                   " ring_geojson string,"
@@ -222,9 +225,121 @@ def cell_outlines_grouped(geocoded: DataFrame, group_col: str = "lang",
         polygonize, schema=OUTLINE_SCHEMA)
 
 
+def _merge_edges_driver(spark, labeled: DataFrame,
+                        edge_rows: list) -> DataFrame:
+    """Union-find over edge-CONNECTED local components only; components
+    confined to one tile never appear in an edge and fall back to a
+    packed per-node gid in the caller (saves a collect-all-nodes job)."""
+    parent: dict[tuple, tuple] = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in edge_rows:
+        a = (r["grp"], r["atx"], r["aty"], r["alid"])
+        b = (r["grp"], r["btx"], r["bty"], r["blid"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    gid_of = {}
+    roots = {}
+    for n in parent:
+        root = find(n)
+        gid_of[n] = roots.setdefault(root, len(roots))
+    if gid_of:
+        mapping = spark.createDataFrame(
+            [(g, tx, ty, lid, gid)
+             for (g, tx, ty, lid), gid in gid_of.items()],
+            schema=["grp", "tx", "ty", "lid", "gid"])
+        return labeled.join(F.broadcast(mapping),
+                            ["grp", "tx", "ty", "lid"], "left")
+    return labeled.withColumn("gid", F.lit(None).cast("bigint"))
+
+
+def _sql_pack_node(tx: str, ty: str, lid: str) -> str:
+    """Pack a per-group local-component node (tx, ty, lid) into one
+    bigint — tx/ty/lid are all < 2^20 by far (tile counts per axis =
+    2^level / 2^tile_shift, lid < tile_size^2); same layout as the
+    isolated-component fallback gid in cell_outlines."""
+    return f"({tx} * {1 << 40} + {ty} * {1 << 20} + {lid})"
+
+
+def _merge_edges_spark(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Distributed border-graph merge: min-label propagation with
+    pointer jumping over the (grp, packed-node) edge list.
+
+    Converges in O(log n) rounds (each round halves representative-tree
+    depth), so 64 rounds bounds any physically realizable graph; raises
+    rather than returning a partial merge if the bound is ever hit.
+    Every intermediate is localCheckpoint'ed to keep plan depth flat.
+    Used only past cell_outlines' merge_collect_limit — the scale path
+    where the border graph no longer fits the driver.
+    """
+    a = F.expr(_sql_pack_node("atx", "aty", "alid"))
+    b = F.expr(_sql_pack_node("btx", "bty", "blid"))
+    half = edges.select("grp", a.alias("src"), b.alias("dst"))
+    sym = half.unionByName(
+        half.select("grp", F.col("dst").alias("src"),
+                    F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+
+    labels = (sym.select("grp", F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")).localCheckpoint())
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels.select("grp", F.col("node").alias("dst"),
+                                   F.col("lbl").alias("dlbl")),
+                     ["grp", "dst"])
+            .groupBy("grp", "src").agg(F.min("dlbl").alias("nlbl"))
+            .withColumnRenamed("src", "node"))
+        stepped = (
+            labels.join(nbr_min, ["grp", "node"], "left")
+            .select("grp", "node",
+                    F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
+        # pointer jump: lbl <- lbl(lbl)  (labels double as the rep table
+        # because every label value is itself a node key)
+        reps = stepped.select("grp", F.col("node").alias("lbl"),
+                              F.col("lbl").alias("plbl"))
+        jumped = (
+            stepped.join(reps, ["grp", "lbl"])
+            .select("grp", "node", F.col("plbl").alias("lbl")))
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), ["grp", "node"])
+            .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"border-graph label propagation did not converge in "
+            f"{max_rounds} rounds")
+    gids = (labels.select("grp", "lbl").distinct()
+            .withColumn(
+                "gid",
+                (F.row_number().over(Window.orderBy("grp", "lbl")) - 1)
+                .cast("bigint")))
+    n20 = 1 << 20
+    return (
+        labels.join(gids, ["grp", "lbl"])
+        .select(
+            "grp",
+            F.expr(f"cast(floor(node / {1 << 40}) as bigint)").alias("tx"),
+            F.expr(f"cast(floor(node / {n20}) % {n20} as bigint)").alias("ty"),
+            F.expr(f"cast(node % {n20} as bigint)").alias("lid"),
+            "gid"))
+
+
 def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
                   level: int = 6, min_cells: int = 1,
-                  tile_shift: int = 3) -> DataFrame:
+                  tile_shift: int = 3,
+                  merge_collect_limit: int = 200_000) -> DataFrame:
     """Tile-partitioned polygonize with cross-tile boundary merge.
 
     Stage A: per (group, 2^tile_shift-sized coarse tile) local
@@ -232,7 +347,10 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
     the border-adjacency graph of LOCAL components (nodes = local
     component labels, edges = occupied 4-neighbor cell pairs straddling
     a tile edge) — this graph is tiny (border cells only), merged
-    driver-side and rebroadcast, exactly the SURVEY §7 iterative
+    driver-side and rebroadcast while it fits (≤ merge_collect_limit
+    edges, logged), else merged fully in-Spark by label propagation
+    with pointer jumping (_merge_edges_spark) — the graph never has to
+    fit the driver.  This is exactly the SURVEY §7 iterative
     boundary-merge hard part. Stage B: each GLOBAL component traces its
     rings in its own task — parallelism = number of components.
     Component ids are renumbered by smallest cell per group, matching
@@ -285,43 +403,27 @@ def cell_outlines(geocoded: DataFrame, group_col: str = "lang",
                        F.col("tx").alias("btx"), F.col("ty").alias("bty"),
                        F.col("lid").alias("blid")),
         ["grp", "jx", "jy"])
-    edge_rows = hits.select(
-        "grp", "atx", "aty", "alid", "btx", "bty", "blid"
-    ).distinct().collect()
+    edges = hits.select(
+        "grp", "atx", "aty", "alid", "btx", "bty", "blid").distinct()
 
-    # union-find over edge-CONNECTED local components only; components
-    # confined to one tile never appear in an edge and fall back to a
-    # packed per-node gid below (saves a whole collect-all-nodes job)
-    parent: dict[tuple, tuple] = {}
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for r in edge_rows:
-        a = (r["grp"], r["atx"], r["aty"], r["alid"])
-        b = (r["grp"], r["btx"], r["bty"], r["blid"])
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    gid_of = {}
-    roots = {}
-    for n in parent:
-        root = find(n)
-        gid_of[n] = roots.setdefault(root, len(roots))
-    if gid_of:
-        mapping = spark.createDataFrame(
-            [(g, tx, ty, lid, gid)
-             for (g, tx, ty, lid), gid in gid_of.items()],
-            schema=["grp", "tx", "ty", "lid", "gid"])
+    # BOUNDED driver merge: the border graph is normally tiny (edges
+    # only exist for border-straddling local components), but its size
+    # grows with total tile perimeter — on a pathologically fine grid it
+    # can outgrow the driver.  Collect at most merge_collect_limit
+    # edges; past that, fall back to iterative in-Spark label
+    # propagation (_merge_edges_spark) and never materialize the graph
+    # driver-side.
+    head = edges.limit(merge_collect_limit + 1).collect()
+    if len(head) > merge_collect_limit:
+        _LOG.info("cell_outlines border merge: > %d edges — using "
+                  "in-Spark label propagation", merge_collect_limit)
+        mapping = _merge_edges_spark(edges)
         mapped = labeled.join(F.broadcast(mapping),
                               ["grp", "tx", "ty", "lid"], "left")
     else:
-        mapped = labeled.withColumn("gid", F.lit(None).cast("bigint"))
+        _LOG.info("cell_outlines border merge: %d edges (driver "
+                  "union-find)", len(head))
+        mapped = _merge_edges_driver(spark, labeled, head)
     # isolated local components: unique packed gid, disjoint from the
     # driver-assigned non-negative ids
     merged = mapped.select(

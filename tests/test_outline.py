@@ -171,3 +171,57 @@ def test_tiled_matches_grouped_with_min_cells(spark, sf_dir):
         F.max("component_id").alias("mx")).collect()
     for r in rows:
         assert r["mn"] == 0 and r["mx"] == r["n"] - 1, r
+
+
+def test_spark_merge_fallback_matches_driver_merge(spark, sf_dir):
+    """merge_collect_limit=0 forces the in-Spark label-propagation merge;
+    it must reproduce the driver union-find plan bit-for-bit."""
+    g = synth.geocode(synth.build_pages(spark, sf_dir, with_html=False))
+    fallback = outline.cell_outlines(g, group_col="lang", level=6,
+                                     tile_shift=3, merge_collect_limit=0)
+    driver = outline.cell_outlines(g, group_col="lang", level=6,
+                                   tile_shift=3)
+    assert fallback.exceptAll(driver).count() == 0
+    assert driver.exceptAll(fallback).count() == 0
+
+
+def _geo_from_cells(spark, cells, level):
+    """Rows whose (lonm, latm) land exactly in the given (cx, cy) cells."""
+    n = 1 << level
+    rows = [("g",
+             (cx * 360000 + n - 1) // n - 180000,
+             90000 - ((cy * 180000 + n - 1) // n))
+            for cx, cy in cells]
+    return spark.createDataFrame(rows, "lang string, lonm bigint, latm bigint")
+
+
+def test_spark_merge_adversarial_border_graph(spark):
+    """Adversarial fallback load: a 512-cell strip chained across 64
+    tiles (deep representative tree - exercises pointer jumping) plus
+    20k independent 2-cell components straddling vertical tile borders.
+    The driver never materializes this edge graph; component count and
+    sizes must still be exact."""
+    level, ts = 10, 8  # 1024x1024 grid, 8-cell tiles
+    cells = [(x, 0) for x in range(512)]  # one strip across 64 tiles
+    # 20k straddling pairs: cells (8k+7, y), (8k+8, y), y >= 2 (gap from
+    # the strip), k staggered so pairs never touch each other
+    pairs = 0
+    y = 2
+    while pairs < 20000:
+        for k in range(0, 127, 2):
+            cells.append((8 * k + 7, y))
+            cells.append((8 * k + 8, y))
+            pairs += 1
+            if pairs >= 20000:
+                break
+        y += 2
+    g = _geo_from_cells(spark, cells, level)
+    out = outline.cell_outlines(g, group_col="lang", level=level,
+                                tile_shift=3, merge_collect_limit=0)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_cells").alias("mx"),
+        F.sum("n_cells").alias("s")).collect()[0]
+    assert agg["n"] == 1 + 20000
+    assert agg["mx"] == 512
+    assert agg["s"] == 512 + 2 * 20000

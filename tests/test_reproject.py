@@ -1,0 +1,125 @@
+"""UTM inverse transverse Mercator: round-trip, UDF/native/oracle parity.
+
+Reference analog: arbitrary-EPSG ingest + EPSG:3857 warp
+(/root/reference/helpers.py:45-48, export_formats/geoserverDEM.py:34-38).
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.functions import geo
+from geotiff_processor_spark.functions import reproject as R
+
+ZONE = 21
+
+
+def _grid():
+    """Deterministic lon/lat grid inside UTM zone 21 south."""
+    lon = np.linspace(-59.9, -54.1, 40)
+    lat = np.linspace(-53.5, -9.5, 50)
+    lo, la = np.meshgrid(lon, lat)
+    return lo.ravel(), la.ravel()
+
+
+def test_forward_inverse_roundtrip():
+    lon, lat = _grid()
+    e, n = R.np_utm_forward(lon, lat, ZONE, south=True)
+    lon2, lat2 = R.np_utm_inverse(e, n, ZONE, south=True)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+    # eastings/northings land in the plausible zone-21S ranges
+    assert e.min() > 100000 and e.max() < 900000
+    assert n.min() > 4000000 and n.max() < 10000000
+
+
+def test_spark_native_matches_numpy(spark):
+    lon, lat = _grid()
+    e, n = R.np_utm_forward(lon, lat, ZONE, south=True)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(e, n)], "e_utm double, n_utm double")
+    out = R.reproject_utm(df, "e_utm", "n_utm", ZONE, south=True,
+                          round_digits=9)
+    got = out.orderBy("e_utm", "n_utm").toPandas()
+    ref_lon, ref_lat = R.np_utm_inverse(
+        got.e_utm.to_numpy(), got.n_utm.to_numpy(), ZONE, south=True)
+    # JVM vs numpy libm: last-ulp transcendental differences only
+    assert np.abs(got.lon.to_numpy() - ref_lon).max() < 1e-9
+    assert np.abs(got.lat.to_numpy() - ref_lat).max() < 1e-9
+
+
+def test_spark_matches_duckdb_cte(spark, duck):
+    """The exact oracle contract: identical rounded values, both engines
+    running the same expression text."""
+    q = f"""WITH u0 AS (
+  SELECT i, cast({R.SQL_UTM_EASTING} as double) AS e_utm,
+         cast({R.SQL_UTM_NORTHING} as double) AS n_utm
+  FROM (SELECT unnest(range(0, 3000)) AS i)
+),
+{R.utm_inverse_cte('u0', ['i'])}
+SELECT i, lon, lat FROM utm_ll ORDER BY i"""
+    oracle = duck.execute(q).df()
+
+    src = spark.range(3000).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_UTM_EASTING} as double)").alias("e_utm"),
+        F.expr(f"cast({R.SQL_UTM_NORTHING} as double)").alias("n_utm"),
+    )
+    got = (R.reproject_utm(src, "e_utm", "n_utm", ZONE, south=True)
+           .orderBy("i").toPandas())
+    assert (got.lon.to_numpy() == oracle.lon.to_numpy()).all()
+    assert (got.lat.to_numpy() == oracle.lat.to_numpy()).all()
+
+
+def test_pandas_udf_matches_native(spark):
+    lon, lat = _grid()
+    e, n = R.np_utm_forward(lon, lat, ZONE, south=True)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(e, n)],
+        "e_utm double, n_utm double")
+    udf = R.make_utm_inverse_pandas_udf(ZONE, south=True, round_digits=6)
+    both = (
+        R.reproject_utm(df, "e_utm", "n_utm", ZONE, south=True)
+        .withColumn("u", udf(F.col("e_utm"), F.col("n_utm")))
+    )
+    bad = both.filter(
+        (F.abs(F.col("lon") - F.col("u.lon")) > 1e-6)
+        | (F.abs(F.col("lat") - F.col("u.lat")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+
+def test_chain_into_mercator_matches_direct(spark):
+    """Differential vs the closed-form Web-Mercator path on the overlap:
+    UTM -> lon/lat -> EPSG:3857 equals direct lon/lat -> EPSG:3857."""
+    lon, lat = _grid()
+    e, n = R.np_utm_forward(lon, lat, ZONE, south=True)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d))
+         for a, b, c, d in zip(e, n, lon, lat)],
+        "e_utm double, n_utm double, lon_true double, lat_true double")
+    out = R.reproject_utm(df, "e_utm", "n_utm", ZONE, south=True,
+                          round_digits=9)
+    mx, my = geo.mercator_xy("lon", "lat")
+    tx, ty = geo.mercator_xy("lon_true", "lat_true")
+    bad = (
+        out.withColumn("mx", mx).withColumn("my", my)
+        .withColumn("tx", tx).withColumn("ty", ty)
+        .filter((F.abs(F.col("mx") - F.col("tx")) > 0.01)
+                | (F.abs(F.col("my") - F.col("ty")) > 0.01))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_plan_is_single_codegen_projection(spark):
+    """The inverse must stay native (no UDF, no shuffle): one
+    WholeStageCodegen over the scan."""
+    src = spark.range(100).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_UTM_EASTING} as double)").alias("e_utm"),
+        F.expr(f"cast({R.SQL_UTM_NORTHING} as double)").alias("n_utm"),
+    )
+    plan = (R.reproject_utm(src, "e_utm", "n_utm")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
