@@ -1,0 +1,102 @@
+"""Cluster entry point: the FULL multi-stage pipeline, resumable.
+
+north_rule run mode — ships the engine via --py-files and runs every
+stage of the reference workflow (geocode -> PIP join -> zonal stats ->
+tile pyramid -> outline polygonize) with a lineage checkpoint between
+stages, so a killed run resumes mid-pipeline without recomputing
+committed partitions (the reference's processed-registry analog,
+/root/reference/helpers.py:166-183, per-stage instead of per-file):
+
+    zip -qr /tmp/gps.zip geotiff_processor_spark
+    spark-submit --master <cluster-master> \
+        --py-files /tmp/gps.zip \
+        scripts/submit_pipeline.py <pages_parquet_path> <output_dir>
+
+Each stage reads the PREVIOUS stage's committed parquet, never the
+upstream plan — resume cost is bounded by the one interrupted stage.
+``<stage>__done`` marker tables carry the completed partition keys;
+``resume_filter`` anti-joins them away on restart and
+``checkpoint_write`` commits with dynamic partition overwrite, so a
+partition is either fully rewritten or untouched (Iceberg
+overwritePartitions semantics on plain parquet).
+"""
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    pages_path, out_dir = sys.argv[1], sys.argv[2]
+    spark = SparkSession.builder.appName("gps-pipeline").getOrCreate()
+    run(spark, pages_path, out_dir)
+    spark.stop()
+
+
+def run(spark: SparkSession, pages_path: str, out_dir: str) -> None:
+    from geotiff_processor_spark.operators import outline, pip, tiling, zonal
+    from geotiff_processor_spark.plans import lineage
+    from geotiff_processor_spark.sources import synth
+
+    def stage_path(name: str) -> str:
+        return os.path.join(out_dir, name)
+
+    # ---- stage 1: geocode (partitioned by lang) --------------------------
+    pages = spark.read.parquet(pages_path)
+    g = synth.geocode(pages).filter(
+        F.col("lonm").isNotNull() & F.col("latm").isNotNull())
+    todo = lineage.resume_filter(g, spark, out_dir, "geocoded", ["lang"])
+    if todo.limit(1).count() > 0:
+        lineage.checkpoint_write(todo, out_dir, "geocoded", ["lang"])
+    geocoded = spark.read.parquet(stage_path("geocoded"))
+
+    # ---- stage 2: broadcast PIP join (partitioned by zone) ---------------
+    asg = pip.pip_join(geocoded, pip.build_cover_table(spark))
+    todo = lineage.resume_filter(asg, spark, out_dir, "pip", ["zone"])
+    if todo.limit(1).count() > 0:
+        lineage.checkpoint_write(todo, out_dir, "pip", ["zone"])
+    pip_out = spark.read.parquet(stage_path("pip"))
+
+    # ---- stage 3: zonal stats (partitioned by zone) ----------------------
+    zs = zonal.zonal_stats(pip_out)
+    todo = lineage.resume_filter(zs, spark, out_dir, "zonal", ["zone"])
+    if todo.limit(1).count() > 0:
+        lineage.checkpoint_write(todo, out_dir, "zonal", ["zone"])
+
+    # ---- stage 4: tile pyramid z6 -> z3 (partitioned by zoom) ------------
+    base = tiling.tile_counts(geocoded, zoom=6)
+    levels = tiling.tile_pyramid_counts(base, down_to_zoom=3)
+    pyr = None
+    for z in sorted(levels):
+        pyr = levels[z] if pyr is None else pyr.unionByName(levels[z])
+    todo = lineage.resume_filter(pyr, spark, out_dir, "pyramid", ["zoom"])
+    if todo.limit(1).count() > 0:
+        lineage.checkpoint_write(todo, out_dir, "pyramid", ["zoom"])
+
+    # ---- stage 5: outline polygonize + GeoJSON features (by group) -------
+    outlines = outline.cell_outlines(geocoded, group_col="lang", level=6)
+    feats = outline.outline_features(outlines)
+    todo = lineage.resume_filter(feats, spark, out_dir, "outline", ["grp"])
+    if todo.limit(1).count() > 0:
+        lineage.checkpoint_write(todo, out_dir, "outline", ["grp"])
+
+    # ---- audit: per-stage partition metrics ------------------------------
+    metrics = None
+    for stage, keys in [("geocoded", ["lang"]), ("pip", ["zone"]),
+                        ("zonal", ["zone"]), ("pyramid", ["zoom"]),
+                        ("outline", ["grp"])]:
+        df = spark.read.parquet(stage_path(stage))
+        m = (lineage.partition_metrics(
+                df, keys, bytes_col="text" if "text" in df.columns else None)
+             .select(F.lit(stage).alias("stage"),
+                     F.concat_ws("=", F.lit(keys[0]),
+                                 F.col(keys[0]).cast("string")).alias("key"),
+                     "n_rows", "n_bytes"))
+        metrics = m if metrics is None else metrics.unionByName(m)
+    metrics.write.mode("overwrite").parquet(stage_path("metrics"))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,3 +67,44 @@ def test_resume_partial_commit(spark, sf_dir, tmp_path):
     remaining = lineage.resume_filter(g, spark, out, "geocode", ["cell_pfx"])
     assert remaining.count() == g.count() - half.count()
     assert remaining.filter(F.col("cell_pfx") < "2").count() == 0
+
+
+def test_submit_pipeline_end_to_end_and_resume(spark, sf_dir, tmp_path):
+    """The full multi-stage submit script: all five stages commit with
+    lineage markers; a deleted stage is rebuilt on rerun while committed
+    stages are left as-is (resume mid-pipeline)."""
+    import importlib.util
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_pipeline", "/root/repo/scripts/submit_pipeline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from geotiff_processor_spark.sources import synth as _synth
+
+    pages_path = str(tmp_path / "pages.parquet")
+    _synth.build_pages(spark, sf_dir).write.parquet(pages_path)
+    out = str(tmp_path / "out")
+
+    mod.run(spark, pages_path, out)
+    stages = ["geocoded", "pip", "zonal", "pyramid", "outline"]
+    counts = {s: spark.read.parquet(f"{out}/{s}").count() for s in stages}
+    assert all(c > 0 for c in counts.values())
+    assert spark.read.parquet(f"{out}/metrics").count() > 0
+
+    # kill the outline stage mid-pipeline; geocoded keeps a sentinel
+    # mtime so we can prove it is NOT rewritten on resume
+    shutil.rmtree(f"{out}/outline")
+    shutil.rmtree(f"{out}/outline__done")
+    import os
+    sentinel = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{out}/geocoded") for f in fs)
+    mod.run(spark, pages_path, out)
+    counts2 = {s: spark.read.parquet(f"{out}/{s}").count() for s in stages}
+    assert counts2 == counts
+    rewritten = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{out}/geocoded") for f in fs)
+    assert rewritten == sentinel
