@@ -217,3 +217,33 @@ def pip_join_raycast(geocoded: DataFrame, polygons: list[dict],
             })
 
     return cand.mapInPandas(verify, schema=out_schema)
+
+
+# Crossover between the two general-polygon plans. The fused path
+# compiles ONE codegen'd CASE branch per polygon, each ~4 bigint ops of
+# SQL per edge: generated-code size grows with total vertex count, and
+# past a few thousand edges janino either splits poorly or falls back to
+# interpreted mode (a silent ~5-10x regression — tests/test_plans.py
+# pins codegen at shipped sizes). The Arrow kernel costs a fixed
+# serialization overhead per candidate row instead, independent of layer
+# complexity. Bound chosen well inside janino's 64KB generated-method
+# comfort zone.
+FUSED_MAX_TOTAL_VERTICES = 2048
+FUSED_MAX_POLYGONS = 256
+
+
+def pip_join_polys(geocoded: DataFrame, polygons: list[dict],
+                   level: int = DEFAULT_COVER_LEVEL) -> DataFrame:
+    """General-polygon PIP join with automatic plan dispatch.
+
+    Small/medium broadcast layers take ``pip_join_general`` (everything
+    whole-stage codegen); layers past FUSED_MAX_* take
+    ``pip_join_raycast`` (same integer ray-cast rule as an Arrow
+    kernel over cover candidates). Both are differential-tested equal;
+    output restricted to the columns the two plans share."""
+    total_vertices = sum(len(p["xs"]) for p in polygons)
+    if (total_vertices <= FUSED_MAX_TOTAL_VERTICES
+            and len(polygons) <= FUSED_MAX_POLYGONS):
+        return pip_join_general(geocoded, polygons, level).select(
+            "url", "polygon_id")
+    return pip_join_raycast(geocoded, polygons, level)
