@@ -37,7 +37,7 @@ HEADLINE = [
     "percentile_breaks", "hillshade", "outline_components", "preview_math",
     "dedup_exact", "text_quality", "minhash_sigs", "ann_cosine",
     "simhash", "media_meta", "decode_images", "tpch_pricing",
-    "tpch_join_nation_revenue", "events_window",
+    "tpch_join_nation_revenue", "events_window", "reproject_utm",
 ]
 
 
@@ -126,6 +126,36 @@ def run_flagship(master: str, pages_path: str,
     return n / dt, n
 
 
+def run_flagship_pinned(ncpus: int, pages_path: str,
+                        n_timed: int) -> tuple[float, int]:
+    """Run the flagship at local[ncpus] in a subprocess whose CPU
+    affinity is EXACTLY ``ncpus`` cores (JVM inherits it).
+
+    Without pinning, a local[8] run on a 32-core host leaks real CPU
+    beyond its 8 task slots — GC threads, JIT compiler threads, shuffle
+    and netty IO threads, and Python/Arrow workers all land on the 24
+    idle cores — so the 8-way baseline reads faster than 8 cores'
+    worth and the 8->32 efficiency is understated. Pinning makes the
+    N-vs-4N comparison faithful to real N-core executor nodes, where
+    those service threads compete with task slots for the same cores.
+    """
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--flagship-worker",
+         str(ncpus), pages_path, str(n_timed)],
+        capture_output=True, text=True, timeout=900)
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    return d["pps"], d["n"]
+
+
+def _flagship_worker(argv: list[str]) -> None:
+    ncpus, pages_path, n_timed = int(argv[0]), argv[1], int(argv[2])
+    os.sched_setaffinity(0, range(ncpus))  # before the JVM launches
+    pps, n = run_flagship(f"local[{ncpus}]", pages_path, n_timed=n_timed)
+    print(json.dumps({"pps": pps, "n": n}))
+
+
 def _cpu_counters() -> tuple[int, int]:
     """(steal, total) jiffies from /proc/stat — hypervisor steal time is
     the direct, metric-independent measure of external (other-tenant)
@@ -168,40 +198,74 @@ def machine_parallel_throughput(n_procs: int) -> float:
     windows, so the achievable machine speedup must be measured, not
     assumed to be 4."""
     import multiprocessing as mp
-    with mp.Pool(n_procs) as pool:
-        pool.map(_probe_task, range(n_procs))  # warm pool + pages
-        t0 = time.perf_counter()
-        pool.map(_probe_task, range(n_procs * 2))
-        dt = time.perf_counter() - t0
+    full = os.sched_getaffinity(0)
+    # pin the probe to exactly n_procs cores, mirroring the engine's
+    # pinned runs — workers inherit the affinity at fork
+    os.sched_setaffinity(0, range(n_procs))
+    try:
+        with mp.Pool(n_procs) as pool:
+            pool.map(_probe_task, range(n_procs))  # warm pool + pages
+            t0 = time.perf_counter()
+            pool.map(_probe_task, range(n_procs * 2))
+            dt = time.perf_counter() - t0
+    finally:
+        os.sched_setaffinity(0, full)
     return (n_procs * 2) / dt
 
 
-def _wait_quiet(budget_s: float, probe_s: float = 4.0,
-                threshold: float = 0.02) -> None:
-    """Block until a probe window shows steal below threshold (or the
-    budget runs out) — don't start a timing attempt mid-burst."""
+def _window_quality(steal_s: float = 3.0) -> tuple[float, float, float]:
+    """(steal fraction, probe8 tasks/s, probe32 tasks/s) for the current
+    window. Both signals are engine-independent: steal is the
+    hypervisor's own accounting, the probe is a fixed pure-CPU kernel.
+    A window is usable for a scaling attempt only when the machine
+    itself demonstrably scales — otherwise even a perfect engine reads
+    as 'not scaling' and the attempt is wasted time."""
+    s0, c0 = _cpu_counters()
+    time.sleep(steal_s)
+    s1, c1 = _cpu_counters()
+    steal = (s1 - s0) / max(c1 - c0, 1)
+    p8 = machine_parallel_throughput(8)
+    p32 = machine_parallel_throughput(32)
+    return steal, p8, p32
+
+
+def _wait_good_window(budget_s: float, steal_clean: float,
+                      probe_gate: float) -> tuple[float, float, float]:
+    """Block until a window shows low steal AND a machine 8->32 probe
+    speedup past ``probe_gate`` (or the budget runs out); returns the
+    last window reading. The stop criterion never looks at the engine's
+    own efficiency, so waiting cannot bias the published number — it
+    only avoids measuring during windows where the hypervisor grants
+    too few cycles for ANY workload to scale."""
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < budget_s:
-        s0, c0 = _cpu_counters()
-        time.sleep(probe_s)
-        s1, c1 = _cpu_counters()
-        if (s1 - s0) / max(c1 - c0, 1) < threshold:
-            return
+    while True:
+        steal, p8, p32 = _window_quality()
+        if steal < steal_clean and p8 > 0 and p32 / p8 >= probe_gate:
+            return steal, p8, p32
+        if time.perf_counter() - t0 >= budget_s:
+            return steal, p8, p32
+        time.sleep(12)
 
 
 def measure_scaling(pages_path: str, deadline_s: float,
-                    max_attempts: int = 3,
-                    steal_clean: float = 0.02) -> dict:
-    """local[8] vs local[32] flagship throughput.
+                    max_attempts: int = 4,
+                    steal_clean: float = 0.02,
+                    probe_gate: float = 3.3) -> dict:
+    """Pinned local[8] vs local[32] flagship throughput.
 
     The host is multi-tenant; external contention only ever slows a run
     down, so the MAX per-master throughput across attempts estimates the
     true job cost. The stopping rule is independent of the reported
-    efficiency (no bias toward the gate): an attempt is CLEAN when
-    hypervisor steal time during it stayed under ``steal_clean`` of CPU
-    — stop after the first clean attempt, the attempt cap, or the
-    wall-clock deadline. Per-attempt steal fractions are reported so
-    every published number carries its contention context.
+    efficiency (no bias toward the gate): an attempt counts as FINAL
+    when (a) hypervisor steal during it stayed under ``steal_clean``
+    and (b) the window's machine probe showed the host itself scaling
+    >= ``probe_gate`` from 8 to 32 pure-CPU workers — i.e. the window
+    could have shown good scaling for any workload. Attempts in windows
+    failing (b) measure the hypervisor, not the engine (observed on
+    this host: probe speedup swings 2.1x-3.3x across half-hour windows
+    with steal ~0 throughout). Per-attempt steal fractions and the
+    probe absolutes are reported so every published number carries its
+    contention context.
     """
     best8 = best32 = 0.0
     probe8 = probe32 = 0.0
@@ -209,15 +273,18 @@ def measure_scaling(pages_path: str, deadline_s: float,
     steals = []
     t_start = time.perf_counter()
     for attempt in range(max_attempts):
-        if attempt and time.perf_counter() - t_start > deadline_s * 0.66:
+        elapsed = time.perf_counter() - t_start
+        if attempt and elapsed > deadline_s * 0.75:
             break
-        _wait_quiet(budget_s=min(60.0, deadline_s / 6))
-        # machine-achievable parallel throughput, measured in the SAME
-        # window as the engine runs (max across attempts, like the
-        # engine numbers — noise only ever slows both down)
-        probe8 = max(probe8, machine_parallel_throughput(8))
+        # wait (bounded) for a window in which the MACHINE demonstrably
+        # scales; measured engine runs then reflect the engine
+        _, p8, p32 = _wait_good_window(
+            budget_s=max(0.0, deadline_s * 0.5 - elapsed),
+            steal_clean=steal_clean, probe_gate=probe_gate)
+        probe8 = max(probe8, p8)
+        probe32 = max(probe32, p32)
         (r8, st8) = _steal_window(
-            lambda: run_flagship("local[8]", pages_path, n_timed=3))
+            lambda: run_flagship_pinned(8, pages_path, n_timed=3))
         pps8, n_pages = r8
         probe32 = max(probe32, machine_parallel_throughput(32))
         # local[32] runs are the ones contention hurts (they need all
@@ -225,11 +292,12 @@ def measure_scaling(pages_path: str, deadline_s: float,
         # time, so a single quiet window inside a noisy attempt is
         # still captured
         (pps32_, st32) = _steal_window(
-            lambda: run_flagship("local[32]", pages_path, n_timed=8)[0])
+            lambda: run_flagship_pinned(32, pages_path, n_timed=8)[0])
         best8 = max(best8, pps8)
         best32 = max(best32, pps32_)
         steals.append(round(max(st8, st32), 4))
-        clean = steals[-1] < steal_clean
+        clean = (steals[-1] < steal_clean
+                 and probe8 > 0 and probe32 / probe8 >= probe_gate)
         if clean or time.perf_counter() - t_start > deadline_s:
             break
     engine_speedup = best32 / best8
@@ -249,6 +317,8 @@ def measure_scaling(pages_path: str, deadline_s: float,
             if machine_speedup > 0 else 0.0, 3),
         "n_attempts": len(steals),
         "steal_frac_per_attempt": steals,
+        "probe_tasks_per_sec": {"8": round(probe8, 1),
+                                "32": round(probe32, 1)},
         "n_pages": n_pages,
     }
 
@@ -280,9 +350,15 @@ def main():
             out[name] = round(best, 3)
         return out
 
+    # don't start timing in a window where the hypervisor is granting
+    # too few cycles for anything to run at speed (steal alone misses
+    # this: grant-poor windows often read steal ~0)
+    _wait_good_window(budget_s=180.0, steal_clean=0.02, probe_gate=3.3)
     times, steal_headline = _steal_window(run_headline)
-    if steal_headline >= 0.02:  # contaminated window: one more pass,
-        times, s2 = _steal_window(lambda: run_headline(times))  # keep min
+    _, hp8, hp32 = _window_quality(steal_s=1.0)
+    if steal_headline >= 0.02 or (hp8 > 0 and hp32 / hp8 < 3.3):
+        # contaminated window: one more pass, keep per-query min
+        times, s2 = _steal_window(lambda: run_headline(times))
         steal_headline = min(steal_headline, s2)
     total = round(sum(times.values()), 3)
     spark.stop()
@@ -294,7 +370,10 @@ def main():
         s.sparkContext.setLogLevel("ERROR")
         materialize_pages(s, sf_dir, repl, pages_path)
         s.stop()
-    scaling = measure_scaling(pages_path, deadline_s=420)
+    scaling = measure_scaling(
+        pages_path,
+        deadline_s=float(os.environ.get("SPARK_GRAFT_SCALING_DEADLINE",
+                                        "600")))
     n_pages = scaling.pop("n_pages")
 
     print(json.dumps({
@@ -313,4 +392,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--flagship-worker":
+        _flagship_worker(sys.argv[2:])
+    else:
+        main()
