@@ -156,6 +156,22 @@ def _flagship_worker(argv: list[str]) -> None:
     print(json.dumps({"pps": pps, "n": n}))
 
 
+def _attempt_pair(pages_path: str) -> tuple[float, float, float, int]:
+    """One short pinned 8-then-32 measurement pair; returns
+    (pps8, pps32, steal, n_pages). Kept cheap (~90 s) on purpose: this
+    host's grant level flips on minute timescales (observed: probe at
+    80% of ideal, then 25% three minutes later, steal reading 0.0
+    throughout), so long attempts straddle regime changes and produce
+    nonsense pairs (including super-linear ones when the 8-side is the
+    depressed half). Many short attempts + per-master max converge."""
+    (r8, st8) = _steal_window(
+        lambda: run_flagship_pinned(8, pages_path, n_timed=2))
+    pps8, n_pages = r8
+    (pps32_, st32) = _steal_window(
+        lambda: run_flagship_pinned(32, pages_path, n_timed=4)[0])
+    return pps8, pps32_, max(st8, st32), n_pages
+
+
 def _cpu_counters() -> tuple[int, int]:
     """(steal, total) jiffies from /proc/stat — hypervisor steal time is
     the direct, metric-independent measure of external (other-tenant)
@@ -213,6 +229,9 @@ def machine_parallel_throughput(n_procs: int) -> float:
     return (n_procs * 2) / dt
 
 
+_P1_BEST = [0.0]  # best observed single-task rate (tasks/s) this run
+
+
 def _window_quality(steal_s: float = 3.0) -> tuple[float, float, float]:
     """(steal fraction, probe8 tasks/s, probe32 tasks/s) for the current
     window. Both signals are engine-independent: steal is the
@@ -221,12 +240,32 @@ def _window_quality(steal_s: float = 3.0) -> tuple[float, float, float]:
     itself demonstrably scales — otherwise even a perfect engine reads
     as 'not scaling' and the attempt is wasted time."""
     s0, c0 = _cpu_counters()
-    time.sleep(steal_s)
+    t0 = time.perf_counter()
+    _probe_task(0)  # single-task rate: anchors the absolute floor
+    p1 = 1.0 / max(time.perf_counter() - t0, 1e-9)
+    _P1_BEST[0] = max(_P1_BEST[0], p1)
+    time.sleep(max(0.0, steal_s - 1.0))
     s1, c1 = _cpu_counters()
     steal = (s1 - s0) / max(c1 - c0, 1)
     p8 = machine_parallel_throughput(8)
     p32 = machine_parallel_throughput(32)
     return steal, p8, p32
+
+
+def _window_good(steal: float, p8: float, p32: float,
+                 steal_clean: float, probe_gate: float) -> bool:
+    """A good window needs low steal, a real 8->32 probe speedup, AND
+    absolute probe throughput near the machine's best observed
+    single-core rate times the worker count. The absolute floor guards
+    against windows where contention crushes the 8-way probe itself:
+    there p32/p8 can read high (observed 6.6 during a 30%-steal burst)
+    while nothing is actually running at speed."""
+    if steal >= steal_clean or p8 <= 0:
+        return False
+    if p32 / p8 < probe_gate:
+        return False
+    floor = 0.55 * 32 * _P1_BEST[0]
+    return p32 >= floor
 
 
 def _wait_good_window(budget_s: float, steal_clean: float,
@@ -240,7 +279,7 @@ def _wait_good_window(budget_s: float, steal_clean: float,
     t0 = time.perf_counter()
     while True:
         steal, p8, p32 = _window_quality()
-        if steal < steal_clean and p8 > 0 and p32 / p8 >= probe_gate:
+        if _window_good(steal, p8, p32, steal_clean, probe_gate):
             return steal, p8, p32
         if time.perf_counter() - t0 >= budget_s:
             return steal, p8, p32
@@ -248,7 +287,7 @@ def _wait_good_window(budget_s: float, steal_clean: float,
 
 
 def measure_scaling(pages_path: str, deadline_s: float,
-                    max_attempts: int = 4,
+                    max_attempts: int = 8,
                     steal_clean: float = 0.02,
                     probe_gate: float = 3.3) -> dict:
     """Pinned local[8] vs local[32] flagship throughput.
@@ -274,30 +313,28 @@ def measure_scaling(pages_path: str, deadline_s: float,
     t_start = time.perf_counter()
     for attempt in range(max_attempts):
         elapsed = time.perf_counter() - t_start
-        if attempt and elapsed > deadline_s * 0.75:
+        if attempt and elapsed > deadline_s * 0.85:
             break
         # wait (bounded) for a window in which the MACHINE demonstrably
         # scales; measured engine runs then reflect the engine
-        _, p8, p32 = _wait_good_window(
-            budget_s=max(0.0, deadline_s * 0.5 - elapsed),
+        sw, p8, p32 = _wait_good_window(
+            budget_s=min(240.0, max(0.0, deadline_s * 0.85 - elapsed)),
             steal_clean=steal_clean, probe_gate=probe_gate)
+        pre_good = _window_good(sw, p8, p32, steal_clean, probe_gate)
         probe8 = max(probe8, p8)
         probe32 = max(probe32, p32)
-        (r8, st8) = _steal_window(
-            lambda: run_flagship_pinned(8, pages_path, n_timed=3))
-        pps8, n_pages = r8
-        probe32 = max(probe32, machine_parallel_throughput(32))
-        # local[32] runs are the ones contention hurts (they need all
-        # cores free) — min over MANY short runs spans ~1 min of wall
-        # time, so a single quiet window inside a noisy attempt is
-        # still captured
-        (pps32_, st32) = _steal_window(
-            lambda: run_flagship_pinned(32, pages_path, n_timed=8)[0])
+        pps8, pps32_, st, n_pages = _attempt_pair(pages_path)
+        # post-check: the window must still be good AFTER the pair, or
+        # the grant level may have collapsed mid-attempt (criterion
+        # stays engine-independent)
+        sw2, p8b, p32b = _window_quality(steal_s=1.0)
+        post_good = _window_good(sw2, p8b, p32b, steal_clean, probe_gate)
+        probe8 = max(probe8, p8b)
+        probe32 = max(probe32, p32b)
         best8 = max(best8, pps8)
         best32 = max(best32, pps32_)
-        steals.append(round(max(st8, st32), 4))
-        clean = (steals[-1] < steal_clean
-                 and probe8 > 0 and probe32 / probe8 >= probe_gate)
+        steals.append(round(max(st, sw2), 4))
+        clean = pre_good and post_good and st < steal_clean
         if clean or time.perf_counter() - t_start > deadline_s:
             break
     engine_speedup = best32 / best8
@@ -373,7 +410,7 @@ def main():
     scaling = measure_scaling(
         pages_path,
         deadline_s=float(os.environ.get("SPARK_GRAFT_SCALING_DEADLINE",
-                                        "600")))
+                                        "900")))
     n_pages = scaling.pop("n_pages")
 
     print(json.dumps({
