@@ -167,8 +167,11 @@ def _attempt_pair(pages_path: str) -> tuple[float, float, float, int]:
     (r8, st8) = _steal_window(
         lambda: run_flagship_pinned(8, pages_path, n_timed=2))
     pps8, n_pages = r8
+    # min-of-6 on the 32-side: a single ~3.5 s clean run inside the
+    # attempt is enough for a faithful reading, and clean micro-windows
+    # are common even inside contended minutes
     (pps32_, st32) = _steal_window(
-        lambda: run_flagship_pinned(32, pages_path, n_timed=4)[0])
+        lambda: run_flagship_pinned(32, pages_path, n_timed=6)[0])
     return pps8, pps32_, max(st8, st32), n_pages
 
 
@@ -310,6 +313,7 @@ def measure_scaling(pages_path: str, deadline_s: float,
     probe8 = probe32 = 0.0
     n_pages = 0
     steals = []
+    got_clean = False
     t_start = time.perf_counter()
     for attempt in range(max_attempts):
         elapsed = time.perf_counter() - t_start
@@ -335,6 +339,7 @@ def measure_scaling(pages_path: str, deadline_s: float,
         best32 = max(best32, pps32_)
         steals.append(round(max(st, sw2), 4))
         clean = pre_good and post_good and st < steal_clean
+        got_clean = got_clean or clean
         if clean or time.perf_counter() - t_start > deadline_s:
             break
     engine_speedup = best32 / best8
@@ -353,6 +358,11 @@ def measure_scaling(pages_path: str, deadline_s: float,
             engine_speedup / min(machine_speedup, 4.0)
             if machine_speedup > 0 else 0.0, 3),
         "n_attempts": len(steals),
+        # False => every attempt within the deadline saw external
+        # contention (steal and/or a grant-poor probe window); the
+        # numbers then measure the host's weather, not the engine —
+        # compare against the clean-window records in BASELINE.md
+        "clean_window": got_clean,
         "steal_frac_per_attempt": steals,
         "probe_tasks_per_sec": {"8": round(probe8, 1),
                                 "32": round(probe32, 1)},
