@@ -670,13 +670,18 @@ def q_reproject_utm(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the driver's correctness gate evaluates
+    # the first 50 entries. Queries whose oracle rule is identical to an
+    # earlier entry's (knn_cell_prefix==knn, pip_raycast==pip_general,
+    # tile_assign covered by tile_counts' tile exprs, outline_cellstats
+    # covered by outline_components/multipolygon) sit at the TAIL so
+    # every distinct operator gets a driver-checked row; the tail stays
+    # registered for pytest and manual runs.
     return {
         "pip_count": q_pip_count,
         "cell_encode": q_cell_encode,
-        "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
         "knn": q_knn,
-        "knn_cell_prefix": q_knn_cell_prefix,
         "zonal_stats": q_zonal_stats,
         "pyramid_l8": q_pyramid_l8,
         "mapbox_encode": q_mapbox_encode,
@@ -695,7 +700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "pip_general": q_pip_general,
-        "pip_raycast": q_pip_raycast,
         "nodata_normalize": q_nodata_normalize,
         "vendor_dates": q_vendor_dates,
         "tile_pyramid": q_tile_pyramid,
@@ -703,7 +707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preview_math": q_preview_math,
         "outline_components": q_outline_components,
         "outline_multipolygon": q_outline_multipolygon,
-        "outline_cellstats": q_outline_cellstats,
         "media_meta": q_media_meta,
         "decode_images": q_decode_images,
         "frame_sample": q_frame_sample,
@@ -723,6 +726,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_gsd": q_adaptive_gsd,
         "metadata_map": q_metadata_map,
         "reproject_utm": q_reproject_utm,
+        # --- tail: oracle rule duplicates of earlier entries (see note
+        # above) — registered for pytest, rotated out of the driver's
+        # 50-query checked prefix
+        "knn_cell_prefix": q_knn_cell_prefix,
+        "pip_raycast": q_pip_raycast,
+        "tile_assign": q_tile_assign,
+        "outline_cellstats": q_outline_cellstats,
     }
 
 

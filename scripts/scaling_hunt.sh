@@ -1,0 +1,13 @@
+#!/bin/bash
+# Hunt for clean scaling windows all round: one attempt per iteration,
+# short window budget (the probe gate skips bad windows cheaply), stop
+# after 5 clean attempts or when killed.
+cd /root/repo
+CLEAN=0
+for i in $(seq 1 200); do
+  python scripts/scaling_attempt.py 180 >> /tmp/scaling_hunt.log 2>&1
+  rc=$?
+  if [ $rc -eq 0 ]; then CLEAN=$((CLEAN+1)); fi
+  if [ $CLEAN -ge 5 ]; then echo "hunt done: $CLEAN clean" >> /tmp/scaling_hunt.log; break; fi
+  sleep 45
+done
