@@ -669,6 +669,26 @@ def q_reproject_utm(spark, sf_dir):
     return R.reproject_utm(src, "e_utm", "n_utm", zone=21, south=True)
 
 
+def q_reproject_lcc(spark, sf_dir):
+    """Arbitrary-CRS ingest, second family: Lambert conformal conic
+    (South America 2-parallel cone) metres -> lon/lat via the
+    closed-form Snyder inverse with the conformal-latitude series —
+    proving the reproject module generalizes beyond transverse Mercator
+    (the reference accepts any EPSG, helpers.py:45-48). Native
+    expressions only."""
+    import os
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = events.select(F.col("event_id").alias("i")).select(
+        F.expr(synth.SQL_URL).alias("url"),
+        F.expr(f"cast({R.SQL_LCC_X} as bigint)").alias("x_lcc"),
+        F.expr(f"cast({R.SQL_LCC_Y} as bigint)").alias("y_lcc"),
+    )
+    return R.reproject_lcc(src, "x_lcc", "y_lcc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -726,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_gsd": q_adaptive_gsd,
         "metadata_map": q_metadata_map,
         "reproject_utm": q_reproject_utm,
+        "reproject_lcc": q_reproject_lcc,
         # --- tail: oracle rule duplicates of earlier entries (see note
         # above) — registered for pytest, rotated out of the driver's
         # 50-query checked prefix
@@ -1219,6 +1240,16 @@ u0 AS (
 ),
 {R.utm_inverse_cte('u0', ['url'], zone=21, south=True)}
 SELECT url, e_utm, n_utm, lon, lat FROM utm_ll"""
+
+    sql["reproject_lcc"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
+l0 AS (
+  SELECT {synth.SQL_URL} AS url,
+    cast({R.SQL_LCC_X} as bigint) AS x_lcc,
+    cast({R.SQL_LCC_Y} as bigint) AS y_lcc
+  FROM p0
+),
+{R.lcc_inverse_cte('l0', ['url'])}
+SELECT url, x_lcc, y_lcc, lon, lat FROM lcc_ll"""
     return sql
 
 

@@ -261,6 +261,192 @@ def np_utm_forward(lon: np.ndarray, lat: np.ndarray, zone: int = 21,
     return easting, northing
 
 
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (2 standard parallels) — the other common
+# ortho-survey CRS family. Same design rules as UTM above: constants
+# inlined via repr, identical SQL text for Spark and DuckDB, inverse via
+# the SAME conformal-latitude DELTA series (chi -> phi), no engine pi/
+# degrees builtins. Formulation: Snyder, "Map Projections — A Working
+# Manual", USGS PP 1395 (public domain), eqs 14-15..15-11.
+# ---------------------------------------------------------------------------
+
+E_ECC = math.sqrt(F_WGS84 * (2.0 - F_WGS84))  # first eccentricity
+HALF_PI = math.pi / 2.0
+
+
+def _lcc_m(phi: float) -> float:
+    """m(phi) = cos(phi) / sqrt(1 - e^2 sin^2 phi)  (Snyder 14-15)."""
+    return math.cos(phi) / math.sqrt(1.0 - (E_ECC * math.sin(phi)) ** 2)
+
+
+def _lcc_t(phi: float) -> float:
+    """t(phi) = tan(pi/4 - phi/2) / ((1-e sin)/(1+e sin))^(e/2)
+    (Snyder 15-9)."""
+    es = E_ECC * math.sin(phi)
+    return (math.tan(math.pi / 4.0 - phi / 2.0)
+            / ((1.0 - es) / (1.0 + es)) ** (E_ECC / 2.0))
+
+
+def lcc_constants(lat1: float, lat2: float, lat0: float
+                  ) -> tuple[float, float, float]:
+    """(n, F, rho0) for a 2-parallel LCC on WGS84 (Snyder 15-8/15-10/
+    15-7a). Works for northern (n>0) and southern (n<0) cones."""
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    t1, t2, t0 = _lcc_t(p1), _lcc_t(p2), _lcc_t(p0)
+    n = (math.log(_lcc_m(p1)) - math.log(_lcc_m(p2))) \
+        / (math.log(t1) - math.log(t2))
+    f_c = _lcc_m(p1) / (n * t1 ** n)
+    rho0 = A_WGS84 * f_c * t0 ** n
+    return n, f_c, rho0
+
+
+# South America Lambert Conformal Conic (the continental LCC covering
+# the reference's Argentine AOI): lat1=-5, lat2=-42, lat0=-32, lon0=-60
+LCC_SA = {"lat1": -5.0, "lat2": -42.0, "lat0": -32.0, "lon0": -60.0,
+          "fe": 0.0, "fn": 0.0}
+
+
+def sql_lcc_rho(x: str, y: str, lat1: float, lat2: float, lat0: float,
+                fe: float, fn: float) -> str:
+    """Signed radius rho' = sign(n) * sqrt(x'^2 + y'^2) (Snyder 14-10)."""
+    n, _, rho0 = lcc_constants(lat1, lat2, lat0)
+    sgn = 1.0 if n > 0 else -1.0
+    xp = f"({x} - {_d(fe)})"
+    yp = f"({_d(rho0)} - ({y} - {_d(fn)}))"
+    return f"({_d(sgn)} * sqrt({xp} * {xp} + {yp} * {yp}))"
+
+
+def sql_lcc_theta(x: str, y: str, lat1: float, lat2: float, lat0: float,
+                  fe: float, fn: float) -> str:
+    """theta = atan2(sign(n) x', sign(n) y') (Snyder 14-11)."""
+    n, _, rho0 = lcc_constants(lat1, lat2, lat0)
+    sgn = 1.0 if n > 0 else -1.0
+    xp = f"({x} - {_d(fe)})"
+    yp = f"({_d(rho0)} - ({y} - {_d(fn)}))"
+    return f"atan2({_d(sgn)} * {xp}, {_d(sgn)} * {yp})"
+
+
+def sql_lcc_lon(theta: str, lat1: float, lat2: float, lat0: float,
+                lon0: float) -> str:
+    """Longitude, degrees (unrounded): lon0 + theta/n (Snyder 14-9)."""
+    n, _, _ = lcc_constants(lat1, lat2, lat0)
+    return f"({_d(lon0)} + ({theta} / {_d(n)}) * {_d(RAD2DEG)})"
+
+
+def sql_lcc_chi(rho: str, lat1: float, lat2: float, lat0: float) -> str:
+    """Conformal latitude chi = pi/2 - 2 atan(t'), with
+    t' = (rho / (a F))^(1/n) (Snyder 15-11); phi then comes from the
+    SAME delta series as UTM (sql_utm_lat)."""
+    n, f_c, _ = lcc_constants(lat1, lat2, lat0)
+    tp = f"power({rho} / {_d(A_WGS84 * f_c)}, {_d(1.0 / n)})"
+    return f"({_d(HALF_PI)} - 2 * atan({tp}))"
+
+
+def lcc_inverse_cte(src: str, id_cols: list[str],
+                    x: str = "x_lcc", y: str = "y_lcc",
+                    lat1: float = LCC_SA["lat1"],
+                    lat2: float = LCC_SA["lat2"],
+                    lat0: float = LCC_SA["lat0"],
+                    lon0: float = LCC_SA["lon0"],
+                    fe: float = LCC_SA["fe"], fn: float = LCC_SA["fn"],
+                    round_digits: int = 6) -> str:
+    """CTE chain ``l1 .. lcc_ll``: LCC metres -> lon/lat degrees.
+    Identical text runs in Spark SQL and DuckDB (same rationale as
+    utm_inverse_cte)."""
+    ids = ", ".join(id_cols)
+    return f"""l1 AS (
+  SELECT {ids}, {x}, {y},
+    {sql_lcc_rho(x, y, lat1, lat2, lat0, fe, fn)} AS rho,
+    {sql_lcc_theta(x, y, lat1, lat2, lat0, fe, fn)} AS theta
+  FROM {src}
+),
+l2 AS (
+  SELECT {ids}, {x}, {y}, theta,
+    {sql_lcc_chi('rho', lat1, lat2, lat0)} AS chi
+  FROM l1
+),
+lcc_ll AS (
+  SELECT {ids}, {x}, {y},
+    round({sql_lcc_lon('theta', lat1, lat2, lat0, lon0)},
+          {round_digits}) AS lon,
+    round({sql_utm_lat('chi')}, {round_digits}) AS lat
+  FROM l2
+)"""
+
+
+# deterministic LCC-coordinate synthesis from an integer id `i`
+# (a ~3200 x 3200 km box around the South America LCC origin)
+SQL_LCC_X = "((i * 7919) % 3200000 - 1600000)"
+SQL_LCC_Y = "((i * 104729) % 3200000 - 1600000)"
+
+
+def reproject_lcc(df: DataFrame, x: str = "x_lcc", y: str = "y_lcc",
+                  lat1: float = LCC_SA["lat1"],
+                  lat2: float = LCC_SA["lat2"],
+                  lat0: float = LCC_SA["lat0"],
+                  lon0: float = LCC_SA["lon0"],
+                  fe: float = LCC_SA["fe"], fn: float = LCC_SA["fn"],
+                  round_digits: int = 6) -> DataFrame:
+    """Append lon/lat (degrees, rounded) to a DataFrame of LCC coords —
+    native expressions only (whole-stage codegen), stage-for-stage the
+    same text as ``lcc_inverse_cte``."""
+    return (
+        df.withColumn("rho",
+                      F.expr(sql_lcc_rho(x, y, lat1, lat2, lat0, fe, fn)))
+        .withColumn("theta",
+                    F.expr(sql_lcc_theta(x, y, lat1, lat2, lat0, fe, fn)))
+        .withColumn("chi", F.expr(sql_lcc_chi("rho", lat1, lat2, lat0)))
+        .withColumn(
+            "lon",
+            F.expr(f"round({sql_lcc_lon('theta', lat1, lat2, lat0, lon0)},"
+                   f" {round_digits})"))
+        .withColumn(
+            "lat", F.expr(f"round({sql_utm_lat('chi')}, {round_digits})"))
+        .drop("rho", "theta", "chi")
+    )
+
+
+def np_lcc_forward(lon: np.ndarray, lat: np.ndarray,
+                   lat1: float = LCC_SA["lat1"],
+                   lat2: float = LCC_SA["lat2"],
+                   lat0: float = LCC_SA["lat0"],
+                   lon0: float = LCC_SA["lon0"],
+                   fe: float = LCC_SA["fe"], fn: float = LCC_SA["fn"]
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized forward LCC (test-side ground truth: proves the SQL
+    inverse is a true round-trip; Snyder 15-1/15-2/14-4)."""
+    n, f_c, rho0 = lcc_constants(lat1, lat2, lat0)
+    phi = lat.astype(np.float64) / RAD2DEG
+    es = E_ECC * np.sin(phi)
+    t = (np.tan(math.pi / 4.0 - phi / 2.0)
+         / ((1.0 - es) / (1.0 + es)) ** (E_ECC / 2.0))
+    rho = A_WGS84 * f_c * t ** n
+    theta = n * (lon.astype(np.float64) - lon0) / RAD2DEG
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def np_lcc_inverse(x: np.ndarray, y: np.ndarray,
+                   lat1: float = LCC_SA["lat1"],
+                   lat2: float = LCC_SA["lat2"],
+                   lat0: float = LCC_SA["lat0"],
+                   lon0: float = LCC_SA["lon0"],
+                   fe: float = LCC_SA["fe"], fn: float = LCC_SA["fn"]
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized inverse — same operations as the SQL text."""
+    n, f_c, rho0 = lcc_constants(lat1, lat2, lat0)
+    sgn = 1.0 if n > 0 else -1.0
+    xp = x.astype(np.float64) - fe
+    yp = rho0 - (y.astype(np.float64) - fn)
+    rho = sgn * np.sqrt(xp * xp + yp * yp)
+    theta = np.arctan2(sgn * xp, sgn * yp)
+    tp = (rho / (A_WGS84 * f_c)) ** (1.0 / n)
+    chi = HALF_PI - 2.0 * np.arctan(tp)
+    phi = chi.copy()
+    for j, d in enumerate(DELTA, start=1):
+        phi = phi + d * np.sin(2 * j * chi)
+    return lon0 + (theta / n) * RAD2DEG, phi * RAD2DEG
+
+
 def make_utm_inverse_pandas_udf(zone: int = 21, south: bool = True,
                                 round_digits: int = 6):
     """Arrow-vectorized pandas UDF returning struct<lon,lat> — the

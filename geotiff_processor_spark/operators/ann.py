@@ -143,9 +143,24 @@ def srp_signatures_multi(embeddings: DataFrame, dim: int = 64,
     return out
 
 
+def _auto_bits(n: int, target_bucket_rows: int,
+               lo: int = 8, hi: int = 24) -> int:
+    """Signature width for an n-row corpus: expected bucket population
+    n / 2^bits ~ target_bucket_rows, clipped to [lo, hi]. The floor
+    keeps test-scale behavior byte-identical to the fixed-8-bit oracle;
+    the ceiling bounds plan size (one fold expression per bit)."""
+    import math
+    if n <= target_bucket_rows:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n / target_bucket_rows))))
+
+
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.9999,
-                       dim: int = 64, bits: int = 8,
-                       n_tables: int = 4) -> DataFrame:
+                       dim: int = 64, bits: int | str = "auto",
+                       n_tables: int = 4,
+                       target_bucket_rows: int = 1024,
+                       oversized: str = "keep",
+                       max_bucket_rows: int = 100_000) -> DataFrame:
     """Embedding-cosine near-dup via SRP bucketing — never all-pairs.
 
     Both sides are bucketed by a b-bit sign-random-projection signature
@@ -155,13 +170,50 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.9999,
     class this operator targets); general recall amplifies with tables.
     The dedupe shuffles only (vid_a, vid_b, cos_sim) candidate rows —
     embeddings never re-shuffle after the bucket join.
+
+    ``bits="auto"`` sizes the signature from the corpus count so the
+    EXPECTED bucket population stays near ``target_bucket_rows``
+    regardless of corpus size: bits = clip(ceil(log2(n/target)), 8, 24).
+    At test scales this resolves to the floor (8 bits — identical to
+    the committed oracle's planes); at 10^12 rows it grows to 24 so the
+    within-bucket self-join never goes quadratic from under-hashing.
+
+    Under-hashing is not the only quadratic risk: a bucket of m
+    NEAR-IDENTICAL vectors is m^2 genuine pairs no matter how many bits
+    (identical vectors share every SRP sign — re-hashing cannot split
+    them). ``oversized`` picks the policy for buckets whose population
+    exceeds ``max_bucket_rows``:
+
+    - "keep" (default): emit all pairs — exact pair semantics, the
+      oracle-checked mode; quadratic only where the TRUE answer is.
+    - "star": inside oversized buckets compare members only against the
+      bucket's min-vid representative — O(m) candidate rows that still
+      LINK every near-dup to its class representative (transitive dedup
+      semantics, the form a 100 TB dedup pipeline consumes). Documented
+      recall trade: member-member pairs inside oversized buckets are
+      reachable via the hub, not emitted directly.
     """
+    if bits == "auto":
+        bits = _auto_bits(corpus.count(), target_bucket_rows)
     sig = srp_signatures_multi(corpus, dim=dim, bits=bits,
                                n_tables=n_tables)
-    a = sig.select(F.col("vec_id").alias("vid_a"),
-                   F.col("embedding").alias("emb_a"), "table", "bucket")
-    b = sig.select(F.col("vec_id").alias("vid_b"),
-                   F.col("embedding").alias("emb_b"), "table", "bucket")
+    if oversized == "star":
+        sizes = sig.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("bkt_n"),
+            F.min("vec_id").alias("hub_vid"))
+        sig = sig.join(sizes, ["table", "bucket"])
+        big = F.col("bkt_n") > F.lit(max_bucket_rows)
+        # oversized buckets contribute only hub-rooted edges on the
+        # a-side (the hub is the bucket min, so vid_a < vid_b below
+        # keeps exactly the hub->member edges)
+        a_src = sig.filter(~big | (F.col("vec_id") == F.col("hub_vid")))
+        b_src = sig
+    else:
+        a_src = b_src = sig
+    a = a_src.select(F.col("vec_id").alias("vid_a"),
+                     F.col("embedding").alias("emb_a"), "table", "bucket")
+    b = b_src.select(F.col("vec_id").alias("vid_b"),
+                     F.col("embedding").alias("emb_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("vid_a") < F.col("vid_b"))

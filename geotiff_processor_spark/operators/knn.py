@@ -45,7 +45,16 @@ def knn_exact(geocoded: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     def local_topk(batches):
         # accumulate the whole partition's best k per query, streaming
         # over Arrow batches: keep a (|Q|, k) running candidate pool
+        # plus a per-query running k-th-distance bound. The bound
+        # prunes, inside the numpy mask, every batch candidate that
+        # provably cannot enter the pool (d2 > bound: the pool already
+        # holds k entries all <= bound; ties at the bound are KEPT so
+        # the (dist2, url) order still decides them) — after the first
+        # batches most pools receive nothing, so the Python append/sort
+        # loop touches only a shrinking fraction of queries per batch
+        # instead of O(|Q| k log k) every batch.
         best: dict[int, list[tuple[int, str]]] = {int(q): [] for q in qid}
+        bound = np.full(len(qid), np.iinfo(np.int64).max, dtype=np.int64)
         for pdf in batches:
             x = pdf["lonm"].to_numpy(np.int64)
             y = pdf["latm"].to_numpy(np.int64)
@@ -60,12 +69,18 @@ def knn_exact(geocoded: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
             # distance collisions the surviving url could then differ
             # from the oracle's ORDER BY dist2, url)
             kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
-            qis, js = np.nonzero(d2 <= kth[:, None])  # one pass, all queries
+            thresh = np.minimum(kth, bound)
+            qis, js = np.nonzero(d2 <= thresh[:, None])
+            touched = set()
             for qi, j in zip(qis.tolist(), js.tolist()):
                 best[int(qid[qi])].append((int(d2[qi, j]), urls[j]))
-            for pool in best.values():
+                touched.add(qi)
+            for qi in touched:
+                pool = best[int(qid[qi])]
                 pool.sort()
                 del pool[k:]
+                if len(pool) == k:
+                    bound[qi] = pool[-1][0]
         rows = [
             (q, u, d) for q, pool in best.items() for d, u in pool
         ]

@@ -320,20 +320,18 @@ def _merge_edges_spark(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         raise RuntimeError(
             f"border-graph label propagation did not converge in "
             f"{max_rounds} rounds")
-    gids = (labels.select("grp", "lbl").distinct()
-            .withColumn(
-                "gid",
-                (F.row_number().over(Window.orderBy("grp", "lbl")) - 1)
-                .cast("bigint")))
+    # gid = the component's min label (a packed-node bigint): already
+    # unique per (grp, component) and non-negative, so no global
+    # row_number window — downstream only groups by (grp, gid) and
+    # renumbers per group, so dense ids are not needed here, and the
+    # scale path keeps zero single-task stages
     n20 = 1 << 20
-    return (
-        labels.join(gids, ["grp", "lbl"])
-        .select(
-            "grp",
-            F.expr(f"cast(floor(node / {1 << 40}) as bigint)").alias("tx"),
-            F.expr(f"cast(floor(node / {n20}) % {n20} as bigint)").alias("ty"),
-            F.expr(f"cast(node % {n20} as bigint)").alias("lid"),
-            "gid"))
+    return labels.select(
+        "grp",
+        F.expr(f"cast(floor(node / {1 << 40}) as bigint)").alias("tx"),
+        F.expr(f"cast(floor(node / {n20}) % {n20} as bigint)").alias("ty"),
+        F.expr(f"cast(node % {n20} as bigint)").alias("lid"),
+        F.col("lbl").cast("bigint").alias("gid"))
 
 
 def cell_outlines(geocoded: DataFrame, group_col: str = "lang",

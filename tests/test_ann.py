@@ -64,6 +64,52 @@ def test_embedding_near_dup_bucketed_no_all_pairs(spark, sf_dir):
         assert r["cos_sim"] >= 0.9999
 
 
+def test_auto_bits_sizing():
+    """bits grow with corpus size so expected bucket population stays
+    ~target; floor 8 keeps test scales identical to the fixed oracle."""
+    assert ann._auto_bits(100, 1024) == 8
+    assert ann._auto_bits(1024, 1024) == 8
+    assert ann._auto_bits(1 << 20, 1024) == 10
+    assert ann._auto_bits(10**12, 1024) == 24  # ceiling
+    assert ann._auto_bits(0, 1024) == 8
+
+
+def test_near_dup_star_mode_bounds_skewed_bucket(spark):
+    """A skewed corpus (one near-dup class of m identical vectors) is
+    m^2 genuine pairs — star mode must emit only the m-1 hub->member
+    links per class instead, bounding candidate volume on pathological
+    corpora, while leaving normal-sized buckets' pairs untouched."""
+    m = 400
+    base = spark.range(m).select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.expr("transform(sequence(1, 64),"
+               " j -> cast(j as float))").alias("embedding"))
+    # two spread-out singleton vectors that pair with nothing (sign
+    # pattern differs per id, so they are NOT scalings of each other)
+    extra = spark.range(2).select(
+        (F.col("id") + 10_000).alias("vec_id"),
+        F.expr("transform(sequence(1, 64), j -> cast(j *"
+               " case when j % (id + 3) = 0 then -1 else 1 end"
+               " as float))").alias("embedding"))
+    corpus = base.unionByName(extra)
+    out = ann.embedding_near_dup(corpus, threshold=0.9999, bits=8,
+                                 oversized="star", max_bucket_rows=50)
+    rows = out.collect()
+    # exactly hub(0)->member links, not the m*(m-1)/2 pair explosion
+    assert len(rows) == m - 1
+    assert all(r["vid_a"] == 0 for r in rows)
+    assert {r["vid_b"] for r in rows} == set(range(1, m))
+    # keep mode (the oracle semantics) on a NON-oversized class still
+    # emits full pairs
+    small = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), j -> cast(j as float))")
+        .alias("embedding"))
+    full = ann.embedding_near_dup(small, threshold=0.9999, bits=8,
+                                  oversized="star", max_bucket_rows=50)
+    assert full.count() == 5 * 4 // 2
+
+
 def test_ivf_recall_and_determinism(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     exact = {(r["query_vec_id"], r["vec_id"])

@@ -32,6 +32,22 @@ def test_cell_prefix_is_exact(spark, sf_dir):
         assert exact.exceptAll(idx).count() == 0, level
 
 
+def test_exact_bound_prune_multibatch(spark, sf_dir):
+    """The running k-th-distance bound prunes batch candidates; with
+    many small Arrow batches (so the prune path actually repeats) the
+    result must still equal the naive crossJoin bit-for-bit, including
+    distance ties decided by url order."""
+    g = _geocoded(spark, sf_dir).repartition(2)
+    q = synth.build_knn_queries(spark)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "97")
+    try:
+        a = knn.knn_exact(g, q, k=5)
+        assert a.exceptAll(knn.knn_crossjoin(g, q, k=5)).count() == 0
+        assert knn.knn_crossjoin(g, q, k=5).exceptAll(a).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
 def test_knn_ranks_dense(spark, sf_dir):
     g = _geocoded(spark, sf_dir)
     q = synth.build_knn_queries(spark)

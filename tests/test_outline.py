@@ -225,3 +225,23 @@ def test_spark_merge_adversarial_border_graph(spark):
     assert agg["n"] == 1 + 20000
     assert agg["mx"] == 512
     assert agg["s"] == 512 + 2 * 20000
+
+
+def test_spark_merge_plan_has_no_global_window(spark):
+    """The scale-path merge exists precisely for graphs too big for one
+    node, so its plan must contain NO window function at all (a
+    row_number over an unpartitioned window would funnel every
+    component label through a single task)."""
+    edges = spark.createDataFrame(
+        [("g", 0, 0, 1, 1, 0, 0), ("g", 1, 0, 0, 2, 0, 3)],
+        "grp string, atx bigint, aty bigint, alid bigint,"
+        " btx bigint, bty bigint, blid bigint")
+    mapping = outline._merge_edges_spark(edges)
+    plan = mapping._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # gids stay unique per grp and non-negative (isolated-component
+    # fallback ids are negative, so the id spaces must not collide)
+    rows = mapping.collect()
+    assert all(r["gid"] >= 0 for r in rows)
+    assert len({(r["grp"], r["tx"], r["ty"], r["lid"]) for r in rows}) \
+        == len(rows)

@@ -123,3 +123,77 @@ def test_plan_is_single_codegen_projection(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (South America cone, n < 0)
+# ---------------------------------------------------------------------------
+
+def _lcc_grid():
+    """Deterministic lon/lat grid across the South America LCC cone."""
+    lon = np.linspace(-75.0, -45.0, 40)
+    lat = np.linspace(-50.0, -8.0, 50)
+    lo, la = np.meshgrid(lon, lat)
+    return lo.ravel(), la.ravel()
+
+
+def test_lcc_forward_inverse_roundtrip():
+    lon, lat = _lcc_grid()
+    x, y = R.np_lcc_forward(lon, lat)
+    lon2, lat2 = R.np_lcc_inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_lcc_constants_southern_cone_sign():
+    n, f_c, rho0 = R.lcc_constants(-5.0, -42.0, -32.0)
+    assert n < 0  # southern standard parallels => cone opens south
+    assert rho0 < 0  # consistent signed radius at the origin latitude
+
+
+def test_lcc_spark_native_matches_numpy(spark):
+    lon, lat = _lcc_grid()
+    x, y = R.np_lcc_forward(lon, lat)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x_lcc double, y_lcc double")
+    got = (R.reproject_lcc(df, "x_lcc", "y_lcc", round_digits=9)
+           .orderBy("x_lcc", "y_lcc").toPandas())
+    ref_lon, ref_lat = R.np_lcc_inverse(
+        got.x_lcc.to_numpy(), got.y_lcc.to_numpy())
+    assert np.abs(got.lon.to_numpy() - ref_lon).max() < 1e-9
+    assert np.abs(got.lat.to_numpy() - ref_lat).max() < 1e-9
+
+
+def test_lcc_spark_matches_duckdb_cte(spark, duck):
+    """Oracle contract: identical rounded values from the identical
+    expression text in both engines."""
+    q = f"""WITH l0 AS (
+  SELECT i, cast({R.SQL_LCC_X} as double) AS x_lcc,
+         cast({R.SQL_LCC_Y} as double) AS y_lcc
+  FROM (SELECT unnest(range(0, 3000)) AS i)
+),
+{R.lcc_inverse_cte('l0', ['i'])}
+SELECT i, lon, lat FROM lcc_ll ORDER BY i"""
+    oracle = duck.execute(q).df()
+
+    src = spark.range(3000).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_LCC_X} as double)").alias("x_lcc"),
+        F.expr(f"cast({R.SQL_LCC_Y} as double)").alias("y_lcc"),
+    )
+    got = R.reproject_lcc(src, "x_lcc", "y_lcc").orderBy("i").toPandas()
+    assert (got.lon.to_numpy() == oracle.lon.to_numpy()).all()
+    assert (got.lat.to_numpy() == oracle.lat.to_numpy()).all()
+
+
+def test_lcc_plan_is_single_codegen_projection(spark):
+    src = spark.range(100).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_LCC_X} as double)").alias("x_lcc"),
+        F.expr(f"cast({R.SQL_LCC_Y} as double)").alias("y_lcc"),
+    )
+    plan = (R.reproject_lcc(src, "x_lcc", "y_lcc")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
