@@ -421,6 +421,21 @@ def q_decode_images(spark, sf_dir):
                                     key_col="url", strict=True)
 
 
+def q_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, end-to-end oracle-checked: the media
+    table carries genuine 16x16 JPEGs (functions/jpeg encoder) whose
+    8x8 blocks are constant YCbCr values from an integer formula of the
+    event id — DC-only blocks with quant 8 round-trip bit-exactly, so
+    DuckDB recomputes the decoded RGB means from the formula plus the
+    SAME YCbCr->RGB conversion text while the engine huffman-decodes,
+    dequantizes, IDCTs and color-converts the actual bytes
+    (reference analog: JPEG preview sink, previews.py:24-39).
+    strict=True: no fake fallback."""
+    media = synth.build_media_jpeg_staged(spark, sf_dir)
+    return multimodal.decode_images(media, payload_col="jpg",
+                                    key_col="url", strict=True)
+
+
 def q_frame_sample(spark, sf_dir):
     """Frame sampler — oracle-checked: the fingerprint formula
     sha256(payload || ':' || idx) reproduces in DuckDB over the
@@ -747,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_map": q_metadata_map,
         "reproject_utm": q_reproject_utm,
         "reproject_lcc": q_reproject_lcc,
+        "decode_jpeg": q_decode_jpeg,
         # --- tail: oracle rule duplicates of earlier entries (see note
         # above) — registered for pytest, rotated out of the driver's
         # 50-query checked prefix
@@ -1250,6 +1266,31 @@ l0 AS (
 ),
 {R.lcc_inverse_cte('l0', ['url'])}
 SELECT url, x_lcc, y_lcc, lon, lat FROM lcc_ll"""
+
+    from geotiff_processor_spark.functions import jpeg as Jp
+    _r, _g, _b = Jp.sql_ycbcr_to_rgb("yv", "cbv", "crv")
+    _nb = synth.JPEG_SIZE // 8
+    sql["decode_jpeg"] = (
+        "WITH p0 AS (SELECT event_id AS i FROM events),\n"
+        f"bxs AS (SELECT range AS bx FROM range({_nb})),\n"
+        f"bys AS (SELECT range AS by FROM range({_nb})),\n"
+        "blk AS (\n"
+        f"  SELECT i, {synth.sql_jpeg_plane(0)} AS yv,\n"
+        f"    {synth.sql_jpeg_plane(1)} AS cbv,\n"
+        f"    {synth.sql_jpeg_plane(2)} AS crv\n"
+        "  FROM p0, bxs, bys\n),\n"
+        "rgbv AS (\n"
+        f"  SELECT i, {_r} AS r, {_g} AS g, {_b} AS b FROM blk\n),\n"
+        "m AS (\n"
+        f"  SELECT i, cast(sum(r) as double) / {_nb * _nb} AS mean_r,\n"
+        f"    cast(sum(g) as double) / {_nb * _nb} AS mean_g,\n"
+        f"    cast(sum(b) as double) / {_nb * _nb} AS mean_b\n"
+        "  FROM rgbv GROUP BY i\n)\n"
+        f"SELECT {synth.SQL_URL} AS url,"
+        f" cast({synth.JPEG_SIZE} as integer) AS height,"
+        f" cast({synth.JPEG_SIZE} as integer) AS width,"
+        " mean_r, mean_g, mean_b FROM m"
+    )
     return sql
 
 

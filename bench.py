@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact", "text_quality", "minhash_sigs", "ann_cosine",
     "simhash", "media_meta", "decode_images", "tpch_pricing",
     "tpch_join_nation_revenue", "events_window", "reproject_utm",
+    "reproject_lcc", "decode_jpeg",
 ]
 
 

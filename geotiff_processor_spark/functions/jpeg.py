@@ -1,0 +1,450 @@
+"""Pure-python/numpy baseline JPEG codec (no PIL/libjpeg needed).
+
+Un-stubs the JPEG decode slot (round-3 verdict item 5): the container
+has no libjpeg, but baseline sequential JPEG is huffman coding + 8x8
+IDCT + YCbCr->RGB, all expressible with numpy and the stdlib, the same
+way ``functions/png.py`` un-stubbed PNG with zlib. Reference analog:
+the preview sink writes JPEG via GDAL
+(``/root/reference/export_formats/previews.py:24-39``); here the engine
+owns the codec because a 100 TB pipeline decodes in executors where
+native codecs may not be installable.
+
+Supported (documented limits, like the PNG codec's):
+- baseline sequential DCT (SOF0), 8-bit samples
+- 1 (grayscale) or 3 (YCbCr) components, NO chroma subsampling (all
+  sampling factors 1x1)
+- no restart intervals, no progressive/arithmetic coding
+
+The encoder writes its huffman and quantization tables into DHT/DQT
+markers, so any spec-conforming decoder reads its output; the decoder
+builds tables from the file's own markers, so it reads any conforming
+baseline 4:4:4 stream, not just this encoder's.
+
+Exactness contract used by the oracle-checked ``decode_jpeg`` query:
+an 8x8 block that is CONSTANT in a channel has only a DC coefficient
+(8*(v-128)); with a quant value dividing it (our tables use 8) the
+round trip is bit-exact, and the YCbCr->RGB integer conversion below
+(floor(x + 0.5), clip — identical text in the DuckDB oracle) is then
+exactly reproducible by SQL arithmetic on the planted block formula.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# constant tables
+# ---------------------------------------------------------------------------
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """(row, col) in JPEG zigzag scan order, generated (no typo risk)."""
+    out = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(s + 1) if r < 8 and s - r < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        out.extend(diag)
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+# ITU T.81 Annex K.3 typical huffman tables (public spec). Used for all
+# components; the encoder WRITES them into DHT, the decoder READS DHT,
+# so round-trip correctness never depends on these being the exact
+# Annex K values — only on being a valid prefix code covering every
+# (run, size) symbol, which canonical construction guarantees.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+# flat quantization table: 8 everywhere. 8 divides the DC coefficient
+# of any constant block (8*(v-128)), giving the bit-exact round trip
+# the oracle relies on, while bounding AC error for general content.
+QTABLE = np.full(64, 8, dtype=np.int32)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: spatial = C.T @ coef @ C."""
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            c[u, x] = math.sqrt((1 if u == 0 else 2) / 8.0) \
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return c
+
+
+_C = _dct_matrix()
+
+# YCbCr <-> RGB (JFIF full-range) constants; floor(x+0.5) rounding is
+# the shared rounding rule with the SQL oracle
+_CR_R, _CB_G, _CR_G, _CB_B = 1.402, 0.344136, 0.714136, 1.772
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+                 ) -> np.ndarray:
+    """Integer YCbCr samples -> (h, w, 3) uint8 RGB, floor(x+0.5)
+    rounding + clip — EXACTLY the arithmetic the DuckDB oracle runs."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.floor(yf + _CR_R * crf + 0.5)
+    g = np.floor(yf - _CB_G * cbf - _CR_G * crf + 0.5)
+    b = np.floor(yf + _CB_B * cbf + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def sql_ycbcr_to_rgb(y: str, cb: str, cr: str) -> tuple[str, str, str]:
+    """The same conversion as dialect-neutral SQL text (Spark + DuckDB):
+    the oracle's half of the exactness contract."""
+
+    def clamp(e: str) -> str:
+        return f"least(greatest(floor({e} + 0.5), 0), 255)"
+
+    r = clamp(f"({y} + cast({_CR_R!r} as double) * ({cr} - 128))")
+    g = clamp(f"({y} - cast({_CB_G!r} as double) * ({cb} - 128)"
+              f" - cast({_CR_G!r} as double) * ({cr} - 128))")
+    b = clamp(f"({y} + cast({_CB_B!r} as double) * ({cb} - 128))")
+    return r, g, b
+
+
+# ---------------------------------------------------------------------------
+# huffman machinery (canonical codes from (bits, vals) — T.81 C.2)
+# ---------------------------------------------------------------------------
+
+def _encode_table(bits: list[int], vals: list[int]
+                  ) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]
+                  ) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _encode_table(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # marker stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec)
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment, un-stuffing FF00."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart markers not supported")
+            else:
+                raise ValueError("hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in entropy data")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _extend(bits: int, t: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if t == 0:
+        return 0
+    return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def encode_jpeg_planes(planes: list[np.ndarray]) -> bytes:
+    """Encode component planes (each (h, w) uint8; 1 = grayscale,
+    3 = YCbCr — NO RGB conversion here, so callers planting exact
+    payloads control the YCbCr samples bit-for-bit). h and w must be
+    multiples of 8 (no edge-replication needed for the synth path)."""
+    if len(planes) not in (1, 3):
+        raise ValueError("1 or 3 component planes")
+    h, w = planes[0].shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    for p in planes:
+        if p.shape != (h, w) or p.dtype != np.uint8:
+            raise ValueError("planes must share (h, w) and be uint8")
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: one table, id 0, 8-bit precision, zigzag order
+    zz = bytes(int(QTABLE[k]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0 and AC table 0
+    for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, approx 0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_enc = _encode_table(DC_BITS, DC_VALS)
+    ac_enc = _encode_table(AC_BITS, AC_VALS)
+    q = QTABLE.astype(np.float64)
+    writer = _BitWriter()
+    pred = [0] * nc
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci in range(nc):
+                block = planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8].astype(np.float64)
+                coef = _C @ (block - 128.0) @ _C.T
+                zzc = np.array([coef[r, c] for r, c in ZIGZAG])
+                qc = np.floor(zzc / q + 0.5).astype(np.int64)
+                # DC
+                diff = int(qc[0]) - pred[ci]
+                pred[ci] = int(qc[0])
+                t, bits_v = _magnitude(diff)
+                code, ln = dc_enc[t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(bits_v, t)
+                # AC with run-lengths
+                run = 0
+                for k in range(1, 64):
+                    v = int(qc[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    t, bits_v = _magnitude(v)
+                    code, ln = ac_enc[(run << 4) | t]
+                    writer.write(code, ln)
+                    writer.write(bits_v, t)
+                    run = 0
+                if run:
+                    code, ln = ac_enc[0x00]  # EOB
+                    writer.write(code, ln)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline 4:4:4 JPEG to (h, w, 3) uint8 RGB (grayscale
+    replicates Y into all three channels). Raises on progressive,
+    subsampled, or restart-interval streams (documented limits)."""
+    if bytes(data[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    h = w = 0
+    scan_map: list[tuple[int, int]] = []  # (dc table id, ac table id)
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = bytes(data[pos + 4:pos + 2 + seglen])
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tid] = np.frombuffer(
+                    body[b + 1:b + 65], np.uint8).astype(np.int32)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17:b + 17 + nv])
+                htables[(cls, tid)] = _decode_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if depth != 8 or nc not in (1, 3):
+                raise ValueError("only 8-bit, 1 or 3 components")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("partial scans unsupported")
+            for si in range(ns):
+                scan_map.append((body[2 + 2 * si] >> 4,
+                                 body[2 + 2 * si] & 0xF))
+            pos += 2 + seglen
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if not comps or not scan_map:
+        raise ValueError("missing SOF/SOS")
+
+    nc = len(comps)
+    if h % 8 or w % 8:
+        raise ValueError("non-multiple-of-8 dimensions unsupported")
+    reader = _BitReader(data, pos)
+    nby, nbx = h // 8, w // 8
+    coefs = np.zeros((nc, nby * nbx, 8, 8), np.float64)
+    pred = [0] * nc
+    for b in range(nby * nbx):
+        for ci in range(nc):
+            dct, act = scan_map[ci]
+            dc_tab = htables[(0, dct)]
+            ac_tab = htables[(1, act)]
+            q = qtables[comps[ci][1]]
+            t = reader.read_symbol(dc_tab)
+            diff = _extend(reader.read_bits(t), t)
+            pred[ci] += diff
+            block = np.zeros(64, np.int64)
+            block[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = reader.read_symbol(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 0xF
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                block[k] = _extend(reader.read_bits(s), s)
+                k += 1
+            deq = block * q
+            for zi, (r, c) in enumerate(ZIGZAG):
+                coefs[ci, b, r, c] = deq[zi]
+    # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
+    spatial = np.einsum("ur,nbuv,vc->nbrc", _C, coefs, _C) + 128.0
+    samples = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
+    planes = []
+    for ci in range(nc):
+        plane = samples[ci].reshape(nby, nbx, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(h, w)
+        planes.append(plane)
+    if nc == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=-1)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])

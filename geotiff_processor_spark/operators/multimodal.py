@@ -2,10 +2,12 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. PNG payloads decode for REAL via the pure-python/numpy
-codec in ``functions.png`` (stdlib zlib — no PIL/libjpeg needed; the
-round-2 "stubbed codec" slot is now live). Non-PNG payloads fall back
-to a deterministic fake decoder (default) or raise (strict mode) —
-that slot is where libjpeg/ffmpeg would plug in on a real cluster.
+codec in ``functions.png`` (stdlib zlib) and JPEG payloads via the
+baseline-sequential codec in ``functions.jpeg`` (huffman + IDCT +
+YCbCr->RGB, numpy only) — no PIL/libjpeg needed; the round-2/3
+"stubbed codec" slots are both live. Other payload kinds fall back to
+a deterministic fake decoder (default) or raise (strict mode) — the
+slot where ffmpeg would plug in on a real cluster.
 
 Operators:
 - ``extract_media_meta``: sniff magic bytes + sizes from the binary
@@ -94,6 +96,7 @@ def decode_images(df: DataFrame, payload_col: str = "html",
               " mean_r double, mean_g double, mean_b double")
 
     def decode(batches):
+        from ..functions.jpeg import decode_jpeg
         from ..functions.png import decode_png
         for pdf in batches:
             keys = pdf[key_col].tolist()
@@ -103,11 +106,13 @@ def decode_images(df: DataFrame, payload_col: str = "html",
                 p = bytes(payload)
                 if p[:4] == b"\x89PNG":
                     img = decode_png(p)[:, :, :3]
+                elif p[:3] == b"\xff\xd8\xff":
+                    img = decode_jpeg(p)
                 elif strict:
                     raise ValueError(
                         f"no codec for payload magic {p[:4]!r}: only the"
-                        " built-in PNG codec is available in this"
-                        " container (libjpeg/ffmpeg slot)")
+                        " built-in PNG and baseline-JPEG codecs are"
+                        " available in this container (ffmpeg slot)")
                 else:
                     img = _fake_decode(p, h, w)
                 means = img.reshape(-1, 3).mean(axis=0)

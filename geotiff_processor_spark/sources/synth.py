@@ -465,3 +465,92 @@ def build_media_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# JPEG media table: REAL baseline JPEG payloads (functions/jpeg codec)
+# ---------------------------------------------------------------------------
+
+JPEG_SIZE = 16  # 16x16 = 2x2 blocks of 8x8 per channel
+
+# per-channel block-constant YCbCr formula in (i, bx, by): every 8x8
+# block is constant per channel, so the JPEG round trip is BIT-EXACT
+# (DC-only blocks, quant 8 divides 8*(v-128)) and DuckDB can recompute
+# the decoded RGB straight from the formula + the shared YCbCr->RGB
+# conversion text (functions/jpeg.sql_ycbcr_to_rgb)
+JPEG_YCBCR_COEFS = ((7, 31, 17), (11, 13, 19), (13, 23, 29))
+
+
+def sql_jpeg_plane(channel: int) -> str:
+    """Block-constant YCbCr sample value as SQL over (i, bx, by)."""
+    ci, cx, cy = JPEG_YCBCR_COEFS[channel]
+    return f"((i * {ci} + bx * {cx} + by * {cy}) % 256)"
+
+
+def build_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, jpg) — jpg is a REAL 16x16 baseline JPEG (functions/jpeg
+    encoder) whose 8x8 blocks are constant YCbCr values derived from
+    the event id, making the decode chain end-to-end oracle-checkable
+    the same way build_media does for PNG: DuckDB recomputes the RGB
+    means from the formula while the engine actually entropy-decodes,
+    dequantizes, IDCTs and color-converts the bytes."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.jpeg import encode_jpeg_planes
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = events.select(F.col("event_id").alias("i"),
+                         F.expr(SQL_URL).alias("url"))
+    nb = JPEG_SIZE // 8
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["i"].to_numpy(np.int64):
+                planes = []
+                for ci, cx, cy in JPEG_YCBCR_COEFS:
+                    plane = np.zeros((JPEG_SIZE, JPEG_SIZE), np.uint8)
+                    for by in range(nb):
+                        for bx in range(nb):
+                            v = (int(i) * ci + bx * cx + by * cy) % 256
+                            plane[by * 8:by * 8 + 8,
+                                  bx * 8:bx * 8 + 8] = v
+                    planes.append(plane)
+                payloads.append(encode_jpeg_planes(planes))
+            yield pd.DataFrame({"url": pdf["url"], "jpg": payloads})
+
+    return base.mapInPandas(gen, "url string, jpg binary")
+
+
+def build_media_jpeg_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_media_jpeg materialized once per sf_dir (same staging
+    rationale as build_media_staged)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    fps = []
+    for p in ([ev] if os.path.isfile(ev) else
+              sorted(os.path.join(ev, f) for f in os.listdir(ev))
+              if os.path.isdir(ev) else []):
+        st = os.stat(p)
+        fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha256(
+        f"{sf_dir}|media_jpeg|{';'.join(fps)}|v1".encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"gps_mjpeg_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        media = build_media_jpeg(spark, sf_dir)
+        (media.repartition(max(8, spark.sparkContext.defaultParallelism))
+         .write.mode("overwrite").parquet(tmp))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)

@@ -1,0 +1,126 @@
+"""Baseline JPEG codec: exactness, round trips, decoder robustness.
+
+Reference analog: JPEG preview sink
+(/root/reference/export_formats/previews.py:24-39) — there GDAL owns
+the codec; here the engine does (no libjpeg in executors).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.functions import jpeg as J
+from geotiff_processor_spark.operators import multimodal
+from geotiff_processor_spark.sources import synth
+
+
+def _const_planes(vals, size=16):
+    """Block-constant YCbCr planes: vals[(ci, by, bx)] -> value."""
+    nb = size // 8
+    planes = []
+    for ci in range(3):
+        p = np.zeros((size, size), np.uint8)
+        for by in range(nb):
+            for bx in range(nb):
+                p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    vals(ci, by, bx) % 256
+        planes.append(p)
+    return planes
+
+
+def test_constant_blocks_roundtrip_bit_exact():
+    """DC-only blocks with quant 8 dividing 8*(v-128): decode equals
+    the direct YCbCr->RGB conversion bit-for-bit — the exactness
+    contract the decode_jpeg oracle is built on."""
+    for seed in range(5):
+        planes = _const_planes(
+            lambda ci, by, bx: seed * 97 + ci * 55 + by * 17 + bx * 31)
+        rgb = J.decode_jpeg(J.encode_jpeg_planes(planes))
+        exp = J.ycbcr_to_rgb(*planes)
+        assert (rgb == exp).all(), seed
+
+
+def test_general_content_bounded_by_quant():
+    """Arbitrary content round-trips within the quantization error
+    bound (flat table of 8 => per-coefficient error <= 4, worst-case
+    pixel error well under 32)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 32), np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_planes([img]))
+    assert out.shape == (24, 32, 3)
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()
+    assert err <= 32
+    # grayscale replicates into all channels
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+
+
+def test_gradient_multiblock_dc_prediction():
+    """A strong gradient across many blocks exercises DC-diff coding
+    (every category) and ZRL/EOB paths; decoded DC level must track the
+    source block means closely."""
+    x = np.linspace(0, 255, 64, dtype=np.float64)
+    img = np.tile(x, (16, 1)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_planes([img]))[:, :, 0]
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_decoder_rejects_unsupported():
+    planes = _const_planes(lambda ci, by, bx: 100)
+    data = bytearray(J.encode_jpeg_planes(planes))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"\x00\x01" + bytes(data[2:]))
+    # flip SOF0 -> SOF2 (progressive)
+    idx = bytes(data).find(b"\xff\xc0")
+    data2 = bytearray(data)
+    data2[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(bytes(data2))
+    # corrupt a huffman stream byte deep enough to break a code
+    sos = bytes(data).find(b"\xff\xda")
+    data3 = bytearray(data)
+    data3[sos + 14] ^= 0xFF
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(data3))
+
+
+def test_decode_images_dispatches_jpeg_and_png(spark, sf_dir):
+    """decode_images routes per-payload magic: JPEG media decodes for
+    real under strict=True and the means match the planted formula."""
+    media = synth.build_media_jpeg(spark, sf_dir).limit(20)
+    got = multimodal.decode_images(media, payload_col="jpg",
+                                   key_col="url", strict=True).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r["height"] == synth.JPEG_SIZE
+        assert r["width"] == synth.JPEG_SIZE
+        assert 0.0 <= r["mean_r"] <= 255.0
+
+
+def test_spark_means_match_formula(spark, sf_dir):
+    """Engine decode means == direct numpy recomputation from the
+    planted block formula (the same identity the DuckDB oracle uses)."""
+    media = synth.build_media_jpeg(spark, sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(50)
+    ids = [r["event_id"] for r in events.collect()]
+    got = {r["url"]: r for r in multimodal.decode_images(
+        media, payload_col="jpg", key_col="url", strict=True).collect()}
+    nb = synth.JPEG_SIZE // 8
+    urls = {r["i"]: r["url"] for r in
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(F.col("event_id").alias("i"),
+                    F.expr(synth.SQL_URL).alias("url")).collect()}
+    for i in ids:
+        rs = []
+        for by in range(nb):
+            for bx in range(nb):
+                y, cb, cr = (
+                    (i * c0 + bx * c1 + by * c2) % 256
+                    for c0, c1, c2 in synth.JPEG_YCBCR_COEFS)
+                rgb = J.ycbcr_to_rgb(
+                    np.array([[y]]), np.array([[cb]]), np.array([[cr]]))
+                rs.append(rgb[0, 0])
+        mean = np.stack(rs).mean(axis=0)
+        row = got[urls[i]]
+        assert row["mean_r"] == pytest.approx(mean[0], abs=0)
+        assert row["mean_g"] == pytest.approx(mean[1], abs=0)
+        assert row["mean_b"] == pytest.approx(mean[2], abs=0)
