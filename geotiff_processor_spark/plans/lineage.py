@@ -39,12 +39,20 @@ def partition_metrics(df: DataFrame, key_cols: list[str],
 
 
 def checkpoint_write(df: DataFrame, out_dir: str, stage: str,
-                     partition_cols: list[str]) -> None:
+                     partition_cols: list[str]) -> DataFrame:
     """Stage output + completed-keys marker, both idempotent overwrites.
 
     Real deployment: Iceberg ``overwritePartitions``; here partitioned
     parquet with dynamic partition overwrite gives the same
     idempotent-per-partition semantics.
+
+    The stage plan executes exactly ONCE (the data write); the done
+    marker is derived from the COMMITTED files, not by re-running the
+    plan, and doubles as the stronger invariant "marker keys == the
+    partitions actually present on disk". Returns the committed stage
+    as a DataFrame (explicit schema, so an empty first-run stage — zero
+    data files — still reads back as an empty frame instead of failing
+    parquet schema inference).
     """
     data_path = os.path.join(out_dir, stage)
     done_path = os.path.join(out_dir, f"{stage}__done")
@@ -56,13 +64,17 @@ def checkpoint_write(df: DataFrame, out_dir: str, stage: str,
         .partitionBy(*partition_cols)
         .parquet(data_path)
     )
+    committed = df.sparkSession.read.schema(df.schema).parquet(data_path)
     (
-        df.select(*partition_cols).distinct()
+        # partition-column-only scan: file listing + footers, no row
+        # groups — cheap even for a large committed stage
+        committed.select(*partition_cols).distinct()
         .withColumn("stage", F.lit(stage))
         # append: earlier completed keys survive; completed_keys
         # dedupes on read
         .write.mode("append").parquet(done_path)
     )
+    return committed
 
 
 def completed_keys(spark: SparkSession, out_dir: str,

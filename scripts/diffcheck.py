@@ -8,11 +8,18 @@ rounding). Usage: python scripts/diffcheck.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 
 sys.path.insert(0, "/root/repo")
+
+# data-derived oracle literals (IVF centroids) must come from the SAME
+# sf_dir the queries run at — the driver always checks at sf0.01 (the
+# entry module's default), but this dev harness takes any sf_dir
+if len(sys.argv) > 1 and "SPARK_GRAFT_ORACLE_SF_DIR" not in os.environ:
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sys.argv[1]
 
 from geotiff_processor_spark.session import get_spark  # noqa: E402
 from geotiff_processor_spark.sources.testdata import TABLES  # noqa: E402

@@ -43,27 +43,33 @@ def run(spark: SparkSession, pages_path: str, out_dir: str) -> None:
     def stage_path(name: str) -> str:
         return os.path.join(out_dir, name)
 
+    def stage(df, name: str, keys: list[str]):
+        """Resume-filter + commit in ONE plan execution; returns the
+        full committed stage (prior partitions + this run's). The
+        unconditional write is safe: dynamic partition overwrite of an
+        empty frame touches nothing, and checkpoint_write reads the
+        stage back with an explicit schema, so an empty first-run input
+        still yields a readable (empty) stage instead of a missing
+        path (ADVICE r3: the limit(1).count() probe both re-ran the
+        plan and skipped the write that downstream reads relied on)."""
+        todo = lineage.resume_filter(df, spark, out_dir, name, keys)
+        committed[name] = lineage.checkpoint_write(todo, out_dir, name, keys)
+        return committed[name]
+
+    committed: dict = {}
+
     # ---- stage 1: geocode (partitioned by lang) --------------------------
     pages = spark.read.parquet(pages_path)
     g = synth.geocode(pages).filter(
         F.col("lonm").isNotNull() & F.col("latm").isNotNull())
-    todo = lineage.resume_filter(g, spark, out_dir, "geocoded", ["lang"])
-    if todo.limit(1).count() > 0:
-        lineage.checkpoint_write(todo, out_dir, "geocoded", ["lang"])
-    geocoded = spark.read.parquet(stage_path("geocoded"))
+    geocoded = stage(g, "geocoded", ["lang"])
 
     # ---- stage 2: broadcast PIP join (partitioned by zone) ---------------
-    asg = pip.pip_join(geocoded, pip.build_cover_table(spark))
-    todo = lineage.resume_filter(asg, spark, out_dir, "pip", ["zone"])
-    if todo.limit(1).count() > 0:
-        lineage.checkpoint_write(todo, out_dir, "pip", ["zone"])
-    pip_out = spark.read.parquet(stage_path("pip"))
+    pip_out = stage(pip.pip_join(geocoded, pip.build_cover_table(spark)),
+                    "pip", ["zone"])
 
     # ---- stage 3: zonal stats (partitioned by zone) ----------------------
-    zs = zonal.zonal_stats(pip_out)
-    todo = lineage.resume_filter(zs, spark, out_dir, "zonal", ["zone"])
-    if todo.limit(1).count() > 0:
-        lineage.checkpoint_write(todo, out_dir, "zonal", ["zone"])
+    stage(zonal.zonal_stats(pip_out), "zonal", ["zone"])
 
     # ---- stage 4: tile pyramid z6 -> z3 (partitioned by zoom) ------------
     base = tiling.tile_counts(geocoded, zoom=6)
@@ -71,26 +77,23 @@ def run(spark: SparkSession, pages_path: str, out_dir: str) -> None:
     pyr = None
     for z in sorted(levels):
         pyr = levels[z] if pyr is None else pyr.unionByName(levels[z])
-    todo = lineage.resume_filter(pyr, spark, out_dir, "pyramid", ["zoom"])
-    if todo.limit(1).count() > 0:
-        lineage.checkpoint_write(todo, out_dir, "pyramid", ["zoom"])
+    stage(pyr, "pyramid", ["zoom"])
 
     # ---- stage 5: outline polygonize + GeoJSON features (by group) -------
     outlines = outline.cell_outlines(geocoded, group_col="lang", level=6)
-    feats = outline.outline_features(outlines)
-    todo = lineage.resume_filter(feats, spark, out_dir, "outline", ["grp"])
-    if todo.limit(1).count() > 0:
-        lineage.checkpoint_write(todo, out_dir, "outline", ["grp"])
+    stage(outline.outline_features(outlines), "outline", ["grp"])
 
     # ---- audit: per-stage partition metrics ------------------------------
+    # over the committed frames returned by the stage writes (explicit
+    # schema — works even when a stage is empty on an empty input)
     metrics = None
-    for stage, keys in [("geocoded", ["lang"]), ("pip", ["zone"]),
-                        ("zonal", ["zone"]), ("pyramid", ["zoom"]),
-                        ("outline", ["grp"])]:
-        df = spark.read.parquet(stage_path(stage))
+    for name, keys in [("geocoded", ["lang"]), ("pip", ["zone"]),
+                       ("zonal", ["zone"]), ("pyramid", ["zoom"]),
+                       ("outline", ["grp"])]:
+        df = committed[name]
         m = (lineage.partition_metrics(
                 df, keys, bytes_col="text" if "text" in df.columns else None)
-             .select(F.lit(stage).alias("stage"),
+             .select(F.lit(name).alias("stage"),
                      F.concat_ws("=", F.lit(keys[0]),
                                  F.col(keys[0]).cast("string")).alias("key"),
                      "n_rows", "n_bytes"))

@@ -98,13 +98,40 @@ def test_submit_pipeline_end_to_end_and_resume(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{out}/outline")
     shutil.rmtree(f"{out}/outline__done")
     import os
+    # DATA files only: the unconditional (empty) dynamic-overwrite
+    # commit may refresh _SUCCESS, but must not rewrite any partition
     sentinel = max(
         os.path.getmtime(os.path.join(r, f))
-        for r, _, fs in os.walk(f"{out}/geocoded") for f in fs)
+        for r, _, fs in os.walk(f"{out}/geocoded")
+        for f in fs if not f.startswith("_"))
     mod.run(spark, pages_path, out)
     counts2 = {s: spark.read.parquet(f"{out}/{s}").count() for s in stages}
     assert counts2 == counts
     rewritten = max(
         os.path.getmtime(os.path.join(r, f))
-        for r, _, fs in os.walk(f"{out}/geocoded") for f in fs)
+        for r, _, fs in os.walk(f"{out}/geocoded")
+        for f in fs if not f.startswith("_"))
     assert rewritten == sentinel
+
+
+def test_checkpoint_write_empty_first_run(spark, sf_dir, tmp_path):
+    """ADVICE r3: an empty first-run input must still produce a
+    readable (empty) stage and a working resume path, with the stage
+    plan executed exactly once (no limit-probe)."""
+    out = str(tmp_path / "ckpt_empty")
+    g = _geocoded(spark, sf_dir).withColumn(
+        "cell_pfx", F.substring("cell_id", 1, 1))
+    empty = g.filter(F.lit(False))
+    committed = lineage.checkpoint_write(empty, out, "geocode",
+                                         ["cell_pfx"])
+    assert committed.count() == 0
+    # same columns and types (nullability may legitimately widen on a
+    # parquet read-back)
+    assert [(f.name, f.dataType) for f in committed.schema] \
+        == [(f.name, f.dataType) for f in empty.schema]
+    # resume over the empty commit passes everything through
+    assert lineage.resume_filter(g, spark, out, "geocode",
+                                 ["cell_pfx"]).count() == g.count()
+    # a later real commit lands normally and returns the full stage
+    committed2 = lineage.checkpoint_write(g, out, "geocode", ["cell_pfx"])
+    assert committed2.count() == g.count()
