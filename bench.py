@@ -453,12 +453,18 @@ def measure_scaling(pages_path: str, deadline_s: float,
         if entry.get("clean") or time.perf_counter() - t_start > deadline_s:
             break
 
-    live_clean = [e for e in live if e.get("clean")]
     cached_clean = _load_clean_cached(os.path.basename(pages_path),
                                       _code_hash())
-    # prefer clean attempts (live first-party, then the committed cache
-    # of identical-protocol attempts); contaminated live attempts are
-    # only used when no clean evidence exists at all
+    return assemble_scaling(live, cached_clean)
+
+
+def assemble_scaling(live: list[dict], cached_clean: list[dict]) -> dict:
+    """Final scaling block from live attempts + committed clean-window
+    attempts for identical code+input. Prefers clean attempts (live
+    first-party, then the cache); contaminated live attempts are only
+    used when no clean evidence exists at all. Pure function (unit-
+    tested without Spark)."""
+    live_clean = [e for e in live if e.get("clean")]
     pool = live_clean + cached_clean
     used_cache = bool(not live_clean and cached_clean)
     got_clean = bool(pool)
