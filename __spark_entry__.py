@@ -436,6 +436,18 @@ def q_decode_jpeg(spark, sf_dir):
                                     key_col="url", strict=True)
 
 
+def q_decode_audio(spark, sf_dir):
+    """REAL RIFF/WAVE PCM16 decode (functions/wav.py), end-to-end
+    oracle-checked: payload samples derive from an integer formula of
+    the event id, the codec is lossless, so DuckDB recomputes the
+    amplitude features (mean |sample|, peak) straight from the formula
+    while the engine parses the actual bytes. Completes the
+    PNG/JPEG/WAV real-decoder family (ffmpeg-slot analog)."""
+    media = synth.build_media_wav_staged(spark, sf_dir)
+    return multimodal.decode_audio(media, payload_col="wav",
+                                   key_col="url")
+
+
 def q_frame_sample(spark, sf_dir):
     """Frame sampler — oracle-checked: the fingerprint formula
     sha256(payload || ':' || idx) reproduces in DuckDB over the
@@ -763,9 +775,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm": q_reproject_utm,
         "reproject_lcc": q_reproject_lcc,
         "decode_jpeg": q_decode_jpeg,
-        # --- tail: oracle rule duplicates of earlier entries (see note
-        # above) — registered for pytest, rotated out of the driver's
-        # 50-query checked prefix
+        # --- tail: beyond the driver's 50-query checked prefix. The
+        # first four duplicate an earlier entry's oracle rule (see note
+        # above); decode_audio is a distinct operator WITH its own
+        # oracle (scripts/diffcheck.py covers it) that simply exceeds
+        # the 50-row budget — every prefix slot already holds a
+        # distinct operator family.
+        "decode_audio": q_decode_audio,
         "knn_cell_prefix": q_knn_cell_prefix,
         "pip_raycast": q_pip_raycast,
         "tile_assign": q_tile_assign,
@@ -1290,6 +1306,25 @@ SELECT url, x_lcc, y_lcc, lon, lat FROM lcc_ll"""
         f" cast({synth.JPEG_SIZE} as integer) AS height,"
         f" cast({synth.JPEG_SIZE} as integer) AS width,"
         " mean_r, mean_g, mean_b FROM m"
+    )
+
+    sql["decode_audio"] = (
+        "WITH p0 AS (SELECT event_id AS i FROM events),\n"
+        f"ts AS (SELECT range AS t FROM range({synth.WAV_FRAMES})),\n"
+        "cs AS (SELECT range AS c FROM range(2)),\n"
+        "samp AS (\n"
+        f"  SELECT i, abs({synth.sql_wav_sample()}) AS av\n"
+        f"  FROM p0, ts, cs WHERE c < {synth.sql_wav_channels()}\n),\n"
+        "m AS (\n"
+        "  SELECT i, cast(sum(av) as double) / count(*) AS mean_abs,\n"
+        "    cast(max(av) as integer) AS peak,\n"
+        f"    cast(count(*) / {synth.WAV_FRAMES} as integer)"
+        " AS n_channels\n"
+        "  FROM samp GROUP BY i\n)\n"
+        f"SELECT {synth.SQL_URL} AS url,"
+        f" cast({synth.WAV_FRAMES} as integer) AS n_frames,"
+        f" cast({synth.WAV_RATE} as integer) AS sample_rate,"
+        " n_channels, mean_abs, peak FROM m"
     )
     return sql
 

@@ -328,15 +328,22 @@ ATTEMPTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _code_hash() -> str:
     """Hash of everything the flagship's throughput depends on, so a
     cached scaling attempt is only ever reused against the SAME engine
-    code that produced it."""
+    code that produced it. Deliberately NARROW: only the functions and
+    constants on the flagship path — build_pages/geocode (+ the SQL
+    constants they reference), the PIP and geo modules, and the bench
+    session/run protocol — so unrelated engine work (new operators,
+    media synthesis) does not spuriously invalidate logged attempts."""
     import hashlib
     import inspect
     from geotiff_processor_spark.functions import geo as geomod
     h = hashlib.sha256()
-    h.update(inspect.getsource(flagship_pipeline).encode())
-    h.update(inspect.getsource(_session).encode())
-    h.update(inspect.getsource(run_flagship).encode())
-    for mod in (pip, synth, geomod):
+    for fn in (flagship_pipeline, _session, run_flagship,
+               synth.build_pages, synth.geocode, synth.sql_warc_ts):
+        h.update(inspect.getsource(fn).encode())
+    for const in (synth.SQL_URL, synth.SQL_TEXT, synth.SQL_LANG,
+                  synth.SQL_GEO_LONM_FAST, synth.SQL_GEO_LATM_FAST):
+        h.update(const.encode())
+    for mod in (pip, geomod):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:16]

@@ -126,6 +126,36 @@ def decode_images(df: DataFrame, payload_col: str = "html",
     return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
 
 
+def decode_audio(df: DataFrame, payload_col: str = "wav",
+                 key_col: str = "url") -> DataFrame:
+    """Batch audio decode via mapInPandas: REAL RIFF/WAVE PCM16 parse
+    (functions/wav.py) -> per-payload amplitude features
+    (frames, rate, channels, mean |sample|, peak |sample|) — the
+    feature extraction an audio training pipeline runs post-decode.
+    PCM is lossless, so planted integer-formula payloads make this
+    end-to-end hash-checkable against a SQL oracle."""
+    schema = (f"{key_col} string, n_frames int, sample_rate int,"
+              " n_channels int, mean_abs double, peak int")
+
+    def decode(batches):
+        from ..functions.wav import decode_wav
+        for pdf in batches:
+            out = {key_col: pdf[key_col].tolist(), "n_frames": [],
+                   "sample_rate": [], "n_channels": [],
+                   "mean_abs": [], "peak": []}
+            for payload in pdf[payload_col]:
+                rate, arr = decode_wav(bytes(payload))
+                a = np.abs(arr.astype(np.int64))
+                out["n_frames"].append(arr.shape[0])
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(arr.shape[1])
+                out["mean_abs"].append(float(a.mean()))
+                out["peak"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
+
+
 def thumbnail_stats(df: DataFrame, payload_col: str = "html",
                     key_col: str = "url", src: int = 16,
                     thumb: int = 4) -> DataFrame:

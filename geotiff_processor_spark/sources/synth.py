@@ -468,6 +468,97 @@ def build_media_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WAV media table: REAL RIFF/WAVE PCM16 payloads (functions/wav codec)
+# ---------------------------------------------------------------------------
+
+WAV_FRAMES = 200
+WAV_RATE = 16_000
+
+# sample formula: s(i, t, c) = ((i*31 + t*17 + c*7) % 4096) - 2048 —
+# int16-ranged, exact through the lossless PCM round trip, and SQL-
+# recomputable (the oracle derives mean|s| / max|s| from this directly)
+WAV_COEFS = (31, 17, 7)
+
+
+def sql_wav_channels() -> str:
+    """Channel count per payload: 1 + (i % 2) (mono/stereo mix)."""
+    return "(1 + (i % 2))"
+
+
+def sql_wav_sample() -> str:
+    a, b, c = WAV_COEFS
+    return f"(((i * {a} + t * {b} + c * {c}) % 4096) - 2048)"
+
+
+def build_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, wav) — wav is a REAL PCM16 RIFF/WAVE payload whose samples
+    derive from the event id with integer arithmetic (lossless codec =>
+    bit-exact oracle check of the full parse + feature extraction)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.wav import encode_wav
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = events.select(F.col("event_id").alias("i"),
+                         F.expr(SQL_URL).alias("url"))
+    a, b, c = WAV_COEFS
+
+    def gen(batches):
+        t = np.arange(WAV_FRAMES, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["i"].to_numpy(np.int64):
+                ch = 1 + int(i) % 2
+                cs = np.arange(ch, dtype=np.int64)
+                s = ((int(i) * a + t[:, None] * b + cs[None, :] * c)
+                     % 4096) - 2048
+                payloads.append(encode_wav(s.astype(np.int16), WAV_RATE))
+            yield pd.DataFrame({"url": pdf["url"], "wav": payloads})
+
+    return base.mapInPandas(gen, "url string, wav binary")
+
+
+def build_media_wav_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_media_wav materialized once per sf_dir."""
+    return _stage_media(spark, sf_dir, "media_wav", build_media_wav)
+
+
+def _stage_media(spark: SparkSession, sf_dir: str, name: str,
+                 builder) -> DataFrame:
+    """Shared staging for synthesized media tables (same rationale as
+    build_pages_staged: synthesis never re-runs per query)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    fps = []
+    for p in ([ev] if os.path.isfile(ev) else
+              sorted(os.path.join(ev, f) for f in os.listdir(ev))
+              if os.path.isdir(ev) else []):
+        st = os.stat(p)
+        fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha256(
+        f"{sf_dir}|{name}|{';'.join(fps)}|v1".encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"gps_{name}_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        media = builder(spark, sf_dir)
+        (media.repartition(max(8, spark.sparkContext.defaultParallelism))
+         .write.mode("overwrite").parquet(tmp))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
 # JPEG media table: REAL baseline JPEG payloads (functions/jpeg codec)
 # ---------------------------------------------------------------------------
 
