@@ -732,7 +732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "pyramid_l8": q_pyramid_l8,
         "mapbox_encode": q_mapbox_encode,
-        "terrarium_encode": q_terrarium_encode,
         "percentile_breaks": q_percentile_breaks,
         "area_stats": q_area_stats,
         "dedup_exact": q_dedup_exact,
@@ -775,13 +774,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm": q_reproject_utm,
         "reproject_lcc": q_reproject_lcc,
         "decode_jpeg": q_decode_jpeg,
-        # --- tail: beyond the driver's 50-query checked prefix. The
-        # first four duplicate an earlier entry's oracle rule (see note
-        # above); decode_audio is a distinct operator WITH its own
-        # oracle (scripts/diffcheck.py covers it) that simply exceeds
-        # the 50-row budget — every prefix slot already holds a
-        # distinct operator family.
         "decode_audio": q_decode_audio,
+        # --- tail: beyond the driver's 50-query checked prefix. The
+        # first four either duplicate an earlier entry's oracle rule
+        # (knn_cell_prefix==knn, pip_raycast==pip_general, tile_assign
+        # covered by tile_counts) or are a small variant of a checked
+        # operator (terrarium_encode is mapbox_encode's sibling
+        # encoding — same §2 row, same plan shape); all stay registered
+        # for pytest, manual runs, and the driver's overflow pass.
+        "terrarium_encode": q_terrarium_encode,
         "knn_cell_prefix": q_knn_cell_prefix,
         "pip_raycast": q_pip_raycast,
         "tile_assign": q_tile_assign,
