@@ -716,6 +716,109 @@ def q_reproject_lcc(spark, sf_dir):
     return R.reproject_lcc(src, "x_lcc", "y_lcc")
 
 
+def q_reproject_ps(spark, sf_dir):
+    """Arbitrary-CRS ingest, third family: south polar stereographic
+    (EPSG:3031-style Antarctic grid, variant B with standard parallel)
+    metres -> lon/lat — the conformal-latitude series now serves three
+    projection families (transverse Mercator, LCC, stereographic),
+    matching the reference's accept-any-EPSG surface
+    (helpers.py:45-48). Native expressions only."""
+    import os
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = events.select(F.col("event_id").alias("i")).select(
+        F.expr(synth.SQL_URL).alias("url"),
+        F.expr(f"cast({R.SQL_PS_X} as bigint)").alias("x_ps"),
+        F.expr(f"cast({R.SQL_PS_Y} as bigint)").alias("y_ps"),
+    )
+    return R.reproject_ps(src, "x_ps", "y_ps")
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style n-gram repetition quality signals per document —
+    two-phase aggregation shuffling digests, never gram text."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textprep.repetition_signals(docs.select("doc_id", "text"))
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Strided fixed-width token windows (training-sample prep): pure
+    map-side 1:N, no shuffle — chunk_idx/n_tokens/chunk_text per win."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textprep.chunk_tokens(docs.select("doc_id", "text"))
+
+
+# deterministic PII planting shared by the Spark query and the oracle
+# (synth documents are clean word streams, so the fixture appends known
+# emails / digit runs to a deterministic subset)
+def _sql_pii_planted(dialect: str) -> str:
+    s = "varchar" if dialect == "duckdb" else "string"
+    return (
+        "concat(text,"
+        " case when doc_id % 7 = 0 then concat(' contact user',"
+        f" cast(doc_id as {s}), '@mail.example.com now') else '' end,"
+        " case when doc_id % 11 = 0 then concat(' ref 555',"
+        f" cast(doc_id as {s}), '0 code') else '' end)"
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction with counts: emails then digit runs, native
+    regexp_replace/regexp_count in one codegen projection."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id", F.expr(_sql_pii_planted("spark")).alias("text"))
+    return textprep.pii_scrub(planted)
+
+
+# rate table shared by the Spark query and the oracle: a 0-rate source
+# (drops everything), partial rates, and sources absent from the table
+# (keep-all fallback) are all exercised
+STRAT_RATES = [("src0", 2500), ("src1", 5000), ("src2", 7500),
+               ("src3", 10000), ("src4", 0)]
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling: md5-derived uniform vs a
+    broadcast rate table — map-side filter, zero corpus shuffle, no
+    rand() (reproducible across runs, engines, and retries)."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = spark.createDataFrame(
+        STRAT_RATES, "source string, keep_per_10k int")
+    return textprep.stratified_sample(
+        docs.select("doc_id", "source"), rates)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """The dedup family end-to-end: MinHash -> LSH banding -> exact
+    Jaccard verify -> connected components -> canonical doc per
+    cluster. Corpus plants verbatim clones at +100000 (every 20th doc)
+    and +200000 (every 40th), so components of size 3 exercise label
+    propagation beyond a single edge. kept=1 rows ARE the dedup'd
+    corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    c1 = docs.filter(F.col("doc_id") % 20 == 0) \
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    c2 = docs.filter(F.col("doc_id") % 40 == 0) \
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = dedup.jaccard_verify(
+        corpus, dedup.lsh_candidate_pairs(dedup.minhash_signatures(corpus)),
+        threshold=0.999).select("key_a", "key_b")
+    return dedup.canonical_docs(corpus, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -787,6 +890,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_raycast": q_pip_raycast,
         "tile_assign": q_tile_assign,
         "outline_cellstats": q_outline_cellstats,
+        # round-4 additions — distinct operators, each with a full
+        # DuckDB oracle; beyond the 50-row budget but diffcheck- and
+        # pytest-verified like the rest
+        "dedup_canonical": q_dedup_canonical,
+        "repetition_signals": q_repetition_signals,
+        "chunk_tokens": q_chunk_tokens,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "reproject_ps": q_reproject_ps,
     }
 
 
@@ -1283,6 +1395,126 @@ l0 AS (
 ),
 {R.lcc_inverse_cte('l0', ['url'])}
 SELECT url, x_lcc, y_lcc, lon, lat FROM lcc_ll"""
+
+    sql["reproject_ps"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
+s0 AS (
+  SELECT {synth.SQL_URL} AS url,
+    cast({R.SQL_PS_X} as bigint) AS x_ps,
+    cast({R.SQL_PS_Y} as bigint) AS y_ps
+  FROM p0
+),
+{R.ps_inverse_cte('s0', ['url'])}
+SELECT url, x_ps, y_ps, lon, lat FROM ps_ll"""
+
+    from geotiff_processor_spark.operators.textprep import (
+        EMAIL_RE,
+        NUM_RE,
+        sql_strat_u,
+    )
+    sql["repetition_signals"] = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(w) - 1, 1) + 1),
+    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+pg AS (
+  SELECT doc_id, md5(g) AS gh, count(*) AS n, min(length(g)) AS gl
+  FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+  cast(sum(n) as bigint) AS n_grams,
+  cast(count(*) as bigint) AS n_distinct_grams,
+  cast(max(n) as bigint) AS max_gram_rep,
+  round(1 - cast(count(*) as double) / cast(sum(n) as double), 6)
+    AS dup_gram_frac,
+  round(cast(max(n) as double) / cast(sum(n) as double), 6)
+    AS top_gram_frac,
+  round(cast(sum(case when n > 1 then n * gl else 0 end) as double)
+        / cast(greatest(sum(n * gl), 1) as double), 6) AS dup_char_frac
+FROM pg GROUP BY doc_id"""
+    sql["chunk_tokens"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+    unnest(range(0, greatest(len(w) - 1, 0) + 1, 16)) AS st
+  FROM t
+)
+SELECT doc_id,
+  cast(st // 16 as bigint) AS chunk_idx,
+  cast(least(32, len(w) - st) as bigint) AS n_tokens,
+  array_to_string(list_slice(w, st + 1, st + 32), ' ') AS chunk_text
+FROM s"""
+    sql["pii_scrub"] = f"""
+WITH planted AS (
+  SELECT doc_id, {_sql_pii_planted('duckdb')} AS text FROM documents
+)
+SELECT doc_id,
+  cast(len(regexp_extract_all(text, '{EMAIL_RE}')) as bigint)
+    AS n_emails,
+  cast(len(regexp_extract_all(
+    regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), '{NUM_RE}'))
+    as bigint) AS n_numbers,
+  regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{NUM_RE}', '<NUM>', 'g') AS clean_text
+FROM planted"""
+    rate_rows = ", ".join(f"('{s}', {r})" for s, r in STRAT_RATES)
+    sql["stratified_sample"] = f"""
+WITH rates AS (
+  SELECT * FROM (VALUES {rate_rows}) AS t(source, keep_per_10k)
+),
+u AS (
+  SELECT doc_id, source,
+    {sql_strat_u('doc_id', 'duckdb')} AS strat_u
+  FROM documents
+)
+SELECT doc_id, source, cast(strat_u as bigint) AS strat_u
+FROM u LEFT JOIN rates USING (source)
+WHERE strat_u < coalesce(keep_per_10k, 10000)"""
+    # near-dup clustering: the engine runs the REAL pipeline (MinHash ->
+    # LSH -> Jaccard >= .999 -> label propagation); the oracle derives
+    # the same clusters from the planted-clone construction (verbatim
+    # copies are the only >= .999 pairs — the ngram_jaccard oracle
+    # already proves that equivalence) and resolves components with the
+    # same recursive-CTE min-label propagation as outline_components
+    sql["dedup_canonical"] = """
+WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+corpus AS (
+  SELECT doc_id FROM base
+  UNION ALL SELECT doc_id + 100000 FROM base WHERE doc_id % 20 = 0
+  UNION ALL SELECT doc_id + 200000 FROM base WHERE doc_id % 40 = 0
+),
+pairs AS (
+  SELECT doc_id AS key_a, doc_id + 100000 AS key_b FROM base
+    WHERE doc_id % 20 = 0
+  UNION ALL SELECT doc_id, doc_id + 200000 FROM base WHERE doc_id % 40 = 0
+  UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM base
+    WHERE doc_id % 40 = 0
+),
+edges AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION SELECT key_b, key_a FROM pairs
+),
+cc AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, c.lbl FROM cc c
+    JOIN edges e ON c.node = e.src WHERE c.lbl < e.dst
+),
+lab AS (SELECT node, min(lbl) AS component FROM cc GROUP BY 1),
+canon AS (
+  SELECT c.doc_id,
+    cast(coalesce(l.component, c.doc_id) as bigint) AS canonical_id
+  FROM corpus c LEFT JOIN lab l ON c.doc_id = l.node
+),
+sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY 1
+)
+SELECT c.doc_id, c.canonical_id,
+  cast(s.cluster_size as bigint) AS cluster_size,
+  cast(case when c.doc_id = c.canonical_id then 1 else 0 end as int)
+    AS kept
+FROM canon c JOIN sizes s USING (canonical_id)"""
 
     from geotiff_processor_spark.functions import jpeg as Jp
     _r, _g, _b = Jp.sql_ycbcr_to_rgb("yv", "cbv", "crv")

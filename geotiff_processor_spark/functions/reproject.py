@@ -447,6 +447,133 @@ def np_lcc_inverse(x: np.ndarray, y: np.ndarray,
     return lon0 + (theta / n) * RAD2DEG, phi * RAD2DEG
 
 
+# ---------------------------------------------------------------------------
+# Polar stereographic, south aspect with standard parallel (EPSG
+# "variant B", the EPSG:3031-style Antarctic grid) — third CRS family.
+# Same design rules: constants inlined via repr, identical SQL text in
+# both engines, geographic latitude from the SAME conformal-latitude
+# DELTA series. Formulation: Snyder PP 1395 eqs 21-33..21-41/15-11 and
+# the EPSG Guidance Note 7-2 south-pole case (public documents).
+# ---------------------------------------------------------------------------
+
+# Antarctic Polar Stereographic: standard parallel -71, lon0 = 0
+PS_SOUTH = {"lat_ts": -71.0, "lon0": 0.0, "fe": 0.0, "fn": 0.0}
+
+
+def ps_constants(lat_ts: float) -> float:
+    """a * m_F / t_F for the south-aspect standard parallel: the rho
+    scale so that scale factor is true at lat_ts. Uses the north-form
+    m/t at the mirrored (positive) latitude — the south aspect is the
+    north formulas on negated latitude."""
+    p = math.radians(-lat_ts)  # mirrored to the northern hemisphere
+    return A_WGS84 * _lcc_m(p) / _lcc_t(p)
+
+
+def sql_ps_rho(x: str, y: str, fe: float, fn: float) -> str:
+    """rho = sqrt(x'^2 + y'^2) from the (south) pole."""
+    xp = f"({x} - {_d(fe)})"
+    yp = f"({y} - {_d(fn)})"
+    return f"sqrt({xp} * {xp} + {yp} * {yp})"
+
+
+def sql_ps_chi(rho: str, lat_ts: float) -> str:
+    """Conformal latitude (south aspect): chi = 2 atan(t') - pi/2 with
+    t' = rho / (a m_F / t_F)."""
+    return f"(2 * atan({rho} / {_d(ps_constants(lat_ts))}) - {_d(HALF_PI)})"
+
+
+def sql_ps_lon(x: str, y: str, lon0: float, fe: float, fn: float) -> str:
+    """Longitude, degrees (south aspect): lon0 + atan2(x', y')."""
+    xp = f"({x} - {_d(fe)})"
+    yp = f"({y} - {_d(fn)})"
+    return f"({_d(lon0)} + atan2({xp}, {yp}) * {_d(RAD2DEG)})"
+
+
+def ps_inverse_cte(src: str, id_cols: list[str],
+                   x: str = "x_ps", y: str = "y_ps",
+                   lat_ts: float = PS_SOUTH["lat_ts"],
+                   lon0: float = PS_SOUTH["lon0"],
+                   fe: float = PS_SOUTH["fe"], fn: float = PS_SOUTH["fn"],
+                   round_digits: int = 6) -> str:
+    """CTE chain ``p1 .. ps_ll``: south-polar-stereographic metres ->
+    lon/lat degrees; identical text runs in Spark SQL and DuckDB."""
+    ids = ", ".join(id_cols)
+    return f"""p1 AS (
+  SELECT {ids}, {x}, {y},
+    {sql_ps_chi(sql_ps_rho(x, y, fe, fn), lat_ts)} AS chi
+  FROM {src}
+),
+ps_ll AS (
+  SELECT {ids}, {x}, {y},
+    round({sql_ps_lon(x, y, lon0, fe, fn)}, {round_digits}) AS lon,
+    round({sql_utm_lat('chi')}, {round_digits}) AS lat
+  FROM p1
+)"""
+
+
+# deterministic polar-stereographic synthesis from an integer id `i`
+# (a ~5000 x 5000 km box around the south pole, origin excluded by the
+# +37/+59 offsets so atan2(0, 0) never arises)
+SQL_PS_X = "((i * 7919 + 37) % 5000000 - 2500000)"
+SQL_PS_Y = "((i * 104729 + 59) % 5000000 - 2500000)"
+
+
+def reproject_ps(df: DataFrame, x: str = "x_ps", y: str = "y_ps",
+                 lat_ts: float = PS_SOUTH["lat_ts"],
+                 lon0: float = PS_SOUTH["lon0"],
+                 fe: float = PS_SOUTH["fe"], fn: float = PS_SOUTH["fn"],
+                 round_digits: int = 6) -> DataFrame:
+    """Append lon/lat (degrees, rounded) to a DataFrame of south-polar
+    stereographic coords — native expressions only (whole-stage
+    codegen), stage-for-stage the same text as ``ps_inverse_cte``."""
+    return (
+        df.withColumn(
+            "chi", F.expr(sql_ps_chi(sql_ps_rho(x, y, fe, fn), lat_ts)))
+        .withColumn(
+            "lon",
+            F.expr(f"round({sql_ps_lon(x, y, lon0, fe, fn)},"
+                   f" {round_digits})"))
+        .withColumn(
+            "lat", F.expr(f"round({sql_utm_lat('chi')}, {round_digits})"))
+        .drop("chi")
+    )
+
+
+def np_ps_forward(lon: np.ndarray, lat: np.ndarray,
+                  lat_ts: float = PS_SOUTH["lat_ts"],
+                  lon0: float = PS_SOUTH["lon0"],
+                  fe: float = PS_SOUTH["fe"], fn: float = PS_SOUTH["fn"]
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized forward south-polar stereographic (test-side ground
+    truth: proves the SQL inverse is a true round-trip). South aspect =
+    north formulas at mirrored latitude, E/N axes as in EPSG GN7-2."""
+    k = ps_constants(lat_ts)
+    phi = -lat.astype(np.float64) / RAD2DEG  # mirrored
+    es = E_ECC * np.sin(phi)
+    t = (np.tan(math.pi / 4.0 - phi / 2.0)
+         / ((1.0 - es) / (1.0 + es)) ** (E_ECC / 2.0))
+    rho = k * t
+    lam = (lon.astype(np.float64) - lon0) / RAD2DEG
+    return fe + rho * np.sin(lam), fn + rho * np.cos(lam)
+
+
+def np_ps_inverse(x: np.ndarray, y: np.ndarray,
+                  lat_ts: float = PS_SOUTH["lat_ts"],
+                  lon0: float = PS_SOUTH["lon0"],
+                  fe: float = PS_SOUTH["fe"], fn: float = PS_SOUTH["fn"]
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized inverse — same operations as the SQL text."""
+    k = ps_constants(lat_ts)
+    xp = x.astype(np.float64) - fe
+    yp = y.astype(np.float64) - fn
+    rho = np.sqrt(xp * xp + yp * yp)
+    chi = 2.0 * np.arctan(rho / k) - HALF_PI
+    phi = chi.copy()
+    for j, d in enumerate(DELTA, start=1):
+        phi = phi + d * np.sin(2 * j * chi)
+    return lon0 + np.arctan2(xp, yp) * RAD2DEG, phi * RAD2DEG
+
+
 def make_utm_inverse_pandas_udf(zone: int = 21, south: bool = True,
                                 round_digits: int = 6):
     """Arrow-vectorized pandas UDF returning struct<lon,lat> — the

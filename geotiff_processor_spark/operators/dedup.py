@@ -166,6 +166,85 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame,
     return out
 
 
+def connected_components(pairs: DataFrame, key_a: str = "key_a",
+                         key_b: str = "key_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in `pairs`; component = the
+    minimum node id reachable from it.
+
+    Iterative min-label propagation over the undirected pair graph:
+    every round each node takes the min label across its closed
+    neighborhood; converges in O(graph diameter) rounds. Near-dup
+    graphs are LSH quasi-cliques with tiny diameters, so rounds stay in
+    single digits at any corpus size; each round is one shuffle keyed
+    on node id carrying (id, label) bigint pairs — never document text.
+    ``localCheckpoint`` truncates the growing lineage each round; the
+    convergence probe is a limit(1) existence check, not a full count.
+    """
+    edges = pairs.select(
+        F.col(key_a).alias("src"), F.col(key_b).alias("dst")
+    ).union(pairs.select(F.col(key_b).alias("src"),
+                         F.col(key_a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.select("node", "lbl").union(neigh)
+            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def canonical_docs(docs: DataFrame, pairs: DataFrame,
+                   key_col: str = "doc_id") -> DataFrame:
+    """Collapse near-dup pairs into clusters and pick a canonical doc.
+
+    (key, canonical_id, cluster_size, kept): canonical = min key in the
+    connected component (docs in no pair are their own canonical,
+    cluster_size 1). ``kept=1`` marks the one surviving doc per
+    cluster — filtering on it IS the dedup'd corpus. The component
+    labels are a tiny fraction of the corpus (only docs in pairs);
+    joining them back to the full corpus is a broadcast-sized join in
+    practice, expressed as a plain left join so Catalyst/AQE picks the
+    strategy from runtime stats.
+    """
+    cc = connected_components(pairs).withColumnRenamed("node", key_col)
+    with_canon = (
+        docs.select(key_col)
+        .join(cc, key_col, "left")
+        .withColumn("canonical_id",
+                    F.coalesce("component", F.col(key_col)).cast("bigint"))
+        .drop("component")
+    )
+    sizes = with_canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        with_canon.join(sizes, "canonical_id")
+        .select(
+            key_col,
+            "canonical_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col(key_col) == F.col("canonical_id"))
+            .cast("int").alias("kept"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, key_col: str = "doc_id",
             text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """(key, simhash): sign-sum of per-token hash bits, packed to int."""

@@ -1,0 +1,179 @@
+"""Web-text preparation operators for the training-data pipeline.
+
+Beyond the reference's raster scope (it has no text surface), these are
+the corpus-preparation stages a 100 TB Common-Crawl-style pipeline runs
+between raw ingest and tokenization:
+
+- ``repetition_signals``: Gopher-style repetition quality signals over
+  word n-grams (Rae et al. 2021, "Scaling Language Models", App. A —
+  public literature). Two-phase aggregation: explode n-grams, reduce on
+  (doc, md5(gram)) so the shuffle carries a 32-hex digest + counts and
+  never the gram text, then one partial-agg reduce per doc.
+- ``chunk_tokens``: fixed-width/strided token windows (training-sample
+  prep). Pure map-side 1:N — sequence + explode + slice, no shuffle.
+- ``pii_scrub``: email / digit-run redaction with match counts. Native
+  ``regexp_replace``/``regexp_count`` in one codegen stage; patterns
+  avoid backslash classes so the identical text runs in Spark SQL and
+  DuckDB (RE2) — same rationale as functions/text.py's stopword SQL.
+- ``stratified_sample``: deterministic per-source downsampling via an
+  md5-derived uniform (dedup.sql_hash60) against a broadcast rate
+  table. Map-side filter, no shuffle, reproducible across runs and
+  engines (no rand()).
+
+Each operator has a DuckDB-dialect SQL mirror in ``__spark_entry__`` so
+the differential oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.operators.dedup import sql_hash60
+
+# dialect-safe regexes: no backslash escapes (Java regex vs RE2 string
+# escaping diverges), character classes only, '-' placed last
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+NUM_RE = "[0-9][0-9][0-9]+"
+
+CHUNK_WIDTH = 32
+CHUNK_STRIDE = 16
+REP_NGRAM = 2
+
+
+def _grams(text_col: str, n: int) -> F.Column:
+    """Non-distinct word n-gram array (cf. dedup.shingles, which
+    dedups); (len - n + 1) grams, min 1 (short docs yield their text)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def repetition_signals(docs: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text",
+                       n: int = REP_NGRAM) -> DataFrame:
+    """Per-doc n-gram repetition stats: (key, n_grams, n_distinct_grams,
+    max_gram_rep, dup_gram_frac, top_gram_frac, dup_char_frac).
+
+    dup_gram_frac  = 1 - distinct/total        (Gopher dup-ngram rate)
+    top_gram_frac  = occurrences of the most frequent gram / total
+    dup_char_frac  = chars inside repeated grams / total gram chars
+
+    Plan: explode -> reduce on (key, md5(gram)) -> reduce on key. Both
+    shuffles carry fixed-width rows (digest + 2 ints); partial
+    aggregation halves them map-side. Scale-safe at any corpus size.
+    """
+    grams = docs.select(key_col, F.explode(_grams(text_col, n)).alias("g"))
+    per_gram = (
+        grams.select(key_col, F.md5("g").alias("gh"),
+                     F.length("g").alias("gl"))
+        .groupBy(key_col, "gh")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("gl").alias("gl"))
+    )
+    return (
+        per_gram.groupBy(key_col)
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max("n").alias("max_gram_rep"),
+            F.sum(F.when(F.col("n") > 1, F.col("n") * F.col("gl"))
+                  .otherwise(F.lit(0))).alias("_dup_chars"),
+            F.sum(F.col("n") * F.col("gl")).alias("_all_chars"),
+        )
+        .select(
+            key_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_distinct_grams").cast("bigint")
+            .alias("n_distinct_grams"),
+            F.col("max_gram_rep").cast("bigint").alias("max_gram_rep"),
+            F.round(
+                1 - F.col("n_distinct_grams").cast("double")
+                / F.col("n_grams").cast("double"), 6).alias("dup_gram_frac"),
+            F.round(
+                F.col("max_gram_rep").cast("double")
+                / F.col("n_grams").cast("double"), 6).alias("top_gram_frac"),
+            F.round(
+                F.col("_dup_chars").cast("double")
+                / F.greatest(F.col("_all_chars"), F.lit(1)).cast("double"),
+                6).alias("dup_char_frac"),
+        )
+    )
+
+
+def chunk_tokens(docs: DataFrame, key_col: str = "doc_id",
+                 text_col: str = "text", width: int = CHUNK_WIDTH,
+                 stride: int = CHUNK_STRIDE) -> DataFrame:
+    """1:N strided token windows: (key, chunk_idx, n_tokens, chunk_text).
+
+    Chunk starts at token offsets 0, stride, 2*stride, ... while the
+    offset is inside the document; the tail chunk may be shorter than
+    ``width``. Entirely map-side (sequence + explode + slice): chunking
+    100 TB is embarrassingly parallel and this plan keeps it that way.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(stride))
+    with_toks = docs.select(
+        key_col, F.col(text_col),
+        F.size(toks).alias("_nt"), F.explode(starts).alias("_s"))
+    toks2 = F.split(F.col(text_col), " ")
+    return with_toks.select(
+        key_col,
+        (F.col("_s") / stride).cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(width), F.col("_nt") - F.col("_s"))
+        .cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(toks2, F.col("_s") + 1, F.lit(width)))
+        .alias("chunk_text"),
+    )
+
+
+def pii_scrub(docs: DataFrame, key_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails then long digit runs; report match counts.
+
+    (key, n_emails, n_numbers, clean_text). Emails first so the
+    replacement token (no digits) can't double-count under the number
+    pass. One whole-stage-codegen projection, no Python, no shuffle.
+    """
+    return docs.select(
+        key_col,
+        F.expr(f"cast(regexp_count({text_col}, '{EMAIL_RE}') as bigint)")
+        .alias("n_emails"),
+        F.expr(f"cast(regexp_count(regexp_replace({text_col}, '{EMAIL_RE}',"
+               f" '<EMAIL>'), '{NUM_RE}') as bigint)").alias("n_numbers"),
+        F.expr(f"regexp_replace(regexp_replace({text_col}, '{EMAIL_RE}',"
+               f" '<EMAIL>'), '{NUM_RE}', '<NUM>')").alias("clean_text"),
+    )
+
+
+def sql_strat_u(key_expr: str, dialect: str = "spark",
+                mod: int = 10000) -> str:
+    """Deterministic uniform in [0, mod): md5-derived 60-bit hash of the
+    stringified key, reduced mod ``mod``. Identical values in Spark and
+    DuckDB (both hash the same decimal string)."""
+    cast_t = "varchar" if dialect == "duckdb" else "string"
+    return f"(({sql_hash60(f'cast({key_expr} as {cast_t})', dialect)})" \
+           f" % {mod})"
+
+
+def stratified_sample(docs: DataFrame, rates: DataFrame,
+                      key_col: str = "doc_id",
+                      source_col: str = "source",
+                      mod: int = 10000) -> DataFrame:
+    """Keep rows where the per-key deterministic uniform falls under the
+    source's sampling threshold (`rates`: source, keep_per_10k).
+
+    The rate table is dimension-sized — broadcast it; the filter is then
+    map-side with zero shuffle of the corpus. Unsampled sources fall
+    back to keeping everything (left join + coalesce), so a missing
+    rate can only over-keep, never silently drop data.
+    """
+    u = F.expr(sql_strat_u(key_col, "spark", mod))
+    return (
+        docs.withColumn("strat_u", u.cast("bigint"))
+        .join(F.broadcast(rates), source_col, "left")
+        .withColumn("_thr", F.coalesce(F.col("keep_per_10k"), F.lit(mod)))
+        .filter(F.col("strat_u") < F.col("_thr"))
+        .select(key_col, source_col, "strat_u")
+    )

@@ -197,3 +197,81 @@ def test_lcc_plan_is_single_codegen_projection(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# polar stereographic (south aspect, EPSG:3031-style)
+# ---------------------------------------------------------------------------
+
+def _ps_grid():
+    """Antarctic lon/lat grid (full longitude sweep, pole excluded)."""
+    lon = np.linspace(-179.0, 179.0, 45)
+    lat = np.linspace(-88.0, -62.0, 40)
+    lo, la = np.meshgrid(lon, lat)
+    return lo.ravel(), la.ravel()
+
+
+def test_ps_forward_inverse_roundtrip():
+    lon, lat = _ps_grid()
+    x, y = R.np_ps_forward(lon, lat)
+    lon2, lat2 = R.np_ps_inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_ps_scale_true_at_standard_parallel():
+    # at the standard parallel the grid distance of a small east-west
+    # step must equal the ellipsoidal arc length (scale factor 1)
+    lat_ts = R.PS_SOUTH["lat_ts"]
+    lon = np.array([10.0, 10.001])
+    lat = np.array([lat_ts, lat_ts])
+    x, y = R.np_ps_forward(lon, lat)
+    grid_d = np.hypot(x[1] - x[0], y[1] - y[0])
+    import math
+    p = math.radians(lat_ts)
+    nu = R.A_WGS84 / math.sqrt(1 - (R.E_ECC * math.sin(p)) ** 2)
+    arc = nu * math.cos(p) * math.radians(0.001)
+    assert abs(grid_d / arc - 1.0) < 1e-6
+
+
+def test_ps_spark_native_matches_numpy(spark):
+    lon, lat = _ps_grid()
+    x, y = R.np_ps_forward(lon, lat)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x_ps double, y_ps double")
+    got = (R.reproject_ps(df, "x_ps", "y_ps", round_digits=9)
+           .orderBy("x_ps", "y_ps").toPandas())
+    ref_lon, ref_lat = R.np_ps_inverse(
+        got.x_ps.to_numpy(), got.y_ps.to_numpy())
+    assert np.abs(got.lon.to_numpy() - ref_lon).max() < 1e-9
+    assert np.abs(got.lat.to_numpy() - ref_lat).max() < 1e-9
+
+
+def test_ps_spark_matches_duckdb_cte(spark, duck):
+    q = f"""WITH s0 AS (
+  SELECT i, cast({R.SQL_PS_X} as double) AS x_ps,
+         cast({R.SQL_PS_Y} as double) AS y_ps
+  FROM (SELECT unnest(range(0, 3000)) AS i)
+),
+{R.ps_inverse_cte('s0', ['i'])}
+SELECT i, lon, lat FROM ps_ll ORDER BY i"""
+    oracle = duck.execute(q).df()
+
+    src = spark.range(3000).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_PS_X} as double)").alias("x_ps"),
+        F.expr(f"cast({R.SQL_PS_Y} as double)").alias("y_ps"),
+    )
+    got = R.reproject_ps(src, "x_ps", "y_ps").orderBy("i").toPandas()
+    assert (got.lon.to_numpy() == oracle.lon.to_numpy()).all()
+    assert (got.lat.to_numpy() == oracle.lat.to_numpy()).all()
+
+
+def test_ps_synth_coords_never_hit_pole():
+    # atan2(0, 0) is engine-defined; the +37/+59 offsets must keep every
+    # synthesized coordinate off the exact origin
+    i = np.arange(0, 200000, dtype=np.int64)
+    x = (i * 7919 + 37) % 5000000 - 2500000
+    y = (i * 104729 + 59) % 5000000 - 2500000
+    assert int(((x == 0) & (y == 0)).sum()) == 0

@@ -1,0 +1,178 @@
+"""Web-text prep operators: repetition signals, chunking, PII scrub,
+stratified sampling, near-dup canonicalization (operators/textprep.py,
+operators/dedup.py CC). Hand-computable fixtures plus oracle-shape
+checks on the synthetic documents table.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.operators import dedup, textprep
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_hand_case(spark):
+    # bigrams of "a b a b a": [a b, b a, a b, b a] -> 4 grams, 2 distinct
+    out = textprep.repetition_signals(
+        _docs(spark, [(1, "a b a b a")])).collect()[0]
+    assert out.n_grams == 4
+    assert out.n_distinct_grams == 2
+    assert out.max_gram_rep == 2
+    assert out.dup_gram_frac == 0.5
+    assert out.top_gram_frac == 0.5
+    assert out.dup_char_frac == 1.0  # every gram is repeated
+
+
+def test_repetition_no_repeats(spark):
+    out = textprep.repetition_signals(
+        _docs(spark, [(1, "w x y z")])).collect()[0]
+    assert out.n_grams == 3 and out.n_distinct_grams == 3
+    assert out.dup_gram_frac == 0.0 and out.dup_char_frac == 0.0
+
+
+def test_repetition_single_token_doc(spark):
+    out = textprep.repetition_signals(_docs(spark, [(1, "solo")])).collect()[0]
+    assert out.n_grams == 1 and out.max_gram_rep == 1
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_tokens_strides_and_tail(spark):
+    text = " ".join(f"t{i}" for i in range(40))
+    rows = textprep.chunk_tokens(_docs(spark, [(1, text)])) \
+        .orderBy("chunk_idx").collect()
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    assert [r.n_tokens for r in rows] == [32, 24, 8]
+    assert rows[0].chunk_text.split(" ") == [f"t{i}" for i in range(32)]
+    assert rows[2].chunk_text.split(" ") == [f"t{i}" for i in range(32, 40)]
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    rows = textprep.chunk_tokens(_docs(spark, [(1, "a b c")])).collect()
+    assert len(rows) == 1
+    assert rows[0].n_tokens == 3 and rows[0].chunk_text == "a b c"
+
+
+def test_chunk_tokens_overlap_covers_every_token(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(50)
+    chunks = textprep.chunk_tokens(docs)
+    # stride < width => consecutive chunks overlap; summed fresh tokens
+    # (stride per non-tail chunk) must exactly cover the doc
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * 16 + F.col("n_tokens")).alias("covered"))
+    n_toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt"))
+    joined = per_doc.join(n_toks, "doc_id").collect()
+    assert all(r.covered == r.nt for r in joined)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_hand_case(spark):
+    out = textprep.pii_scrub(_docs(spark, [
+        (1, "mail bob.smith@corp.example.org and call 5551234 now"),
+        (2, "no pii here"),
+        (3, "two a@b.io c@d.net plus 123 and 99"),
+    ])).orderBy("doc_id").collect()
+    assert out[0].n_emails == 1 and out[0].n_numbers == 1
+    assert out[0].clean_text == "mail <EMAIL> and call <NUM> now"
+    assert out[1].n_emails == 0 and out[1].n_numbers == 0
+    assert out[1].clean_text == "no pii here"
+    # 99 is under the 3-digit floor; both emails caught
+    assert out[2].n_emails == 2 and out[2].n_numbers == 1
+
+
+def test_pii_scrub_email_digits_not_double_counted(spark):
+    # digits inside the email must not surface as numbers post-redaction
+    out = textprep.pii_scrub(
+        _docs(spark, [(1, "user123456@host.example.com")])).collect()[0]
+    assert out.n_emails == 1 and out.n_numbers == 0
+    assert out.clean_text == "<EMAIL>"
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    rates = spark.createDataFrame(
+        [("src0", 0), ("src1", 10000)], "source string, keep_per_10k int")
+    out1 = textprep.stratified_sample(docs, rates).collect()
+    out2 = textprep.stratified_sample(docs, rates).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r.source, []).append(r)
+    assert "src0" not in by_src  # rate 0 drops everything
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert len(by_src.get("src1", [])) == n_src1  # rate 10000 keeps all
+    # unrated sources fall back to keep-all
+    n_src5 = docs.filter(F.col("source") == "src5").count()
+    assert len(by_src.get("src5", [])) == n_src5
+
+
+# ---------------------------------------------------------------------------
+# connected components + canonical docs
+# ---------------------------------------------------------------------------
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "key_a bigint, key_b bigint")
+
+
+def test_connected_components_chain(spark):
+    # path graph 1-2-3-4-5-6 (diameter 5): exercises multi-round
+    # propagation, not just one hop
+    cc = dedup.connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]))
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_connected_components_two_clusters(spark):
+    cc = dedup.connected_components(
+        _pairs(spark, [(10, 20), (20, 30), (100, 200)]))
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 100: 100, 200: 100}
+
+
+def test_canonical_docs_sizes_and_kept(spark):
+    docs = _docs(spark, [(i, f"d{i}") for i in (1, 2, 3, 7, 8, 9)])
+    out = dedup.canonical_docs(
+        docs, _pairs(spark, [(1, 2), (2, 3), (7, 8)])).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].canonical_id == 1 and by_id[3].canonical_id == 1
+    assert by_id[1].cluster_size == 3 and by_id[8].cluster_size == 2
+    assert by_id[9].canonical_id == 9 and by_id[9].cluster_size == 1
+    kept = sorted(r.doc_id for r in out if r.kept == 1)
+    assert kept == [1, 7, 9]
+    # dedup'd corpus size = number of clusters
+    assert len(kept) == len({r.canonical_id for r in out})
+
+
+def test_dedup_canonical_end_to_end_planted(spark, sf_dir):
+    """Full pipeline on the planted-clone corpus: every %40 doc heads a
+    3-clone cluster, every other %20 doc a 2-clone cluster."""
+    import __spark_entry__ as entry
+
+    out = entry.q_dedup_canonical(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[40].cluster_size == 3  # 40, 100040, 200040
+    assert by_id[100040].canonical_id == 40 and by_id[100040].kept == 0
+    assert by_id[200040].canonical_id == 40
+    assert by_id[20].cluster_size == 2  # 20, 100020
+    assert by_id[100020].canonical_id == 20
+    assert by_id[1].cluster_size == 1 and by_id[1].kept == 1
