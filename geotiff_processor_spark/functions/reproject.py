@@ -574,6 +574,80 @@ def np_ps_inverse(x: np.ndarray, y: np.ndarray,
     return lon0 + np.arctan2(xp, yp) * RAD2DEG, phi * RAD2DEG
 
 
+# ---------------------------------------------------------------------------
+# EPSG dispatch — the reference's accept-any-code surface
+# (/root/reference/helpers.py:45-48 feeds any EPSG into
+# osr.SpatialReference). Known families route to the closed-form native
+# expression paths above (whole-stage codegen, oracle-checked); every
+# other code falls back to a pyproj-backed Arrow pandas UDF, gated on
+# import so the engine degrades with a clear message where the library
+# is absent rather than silently mis-projecting.
+# ---------------------------------------------------------------------------
+
+def reproject_epsg(df: DataFrame, epsg: int, x: str, y: str,
+                   round_digits: int = 6) -> DataFrame:
+    """Append lon/lat for source coordinates in the given EPSG CRS.
+
+    Native closed-form dispatch (no UDF, single codegen projection):
+      - 32601-32660: WGS84 / UTM zone N (north)
+      - 32701-32760: WGS84 / UTM zone N (south)
+      - 3031: WGS84 / Antarctic Polar Stereographic (lat_ts -71, lon0 0)
+      - 4326: passthrough (source already lon/lat)
+    Anything else: pyproj Arrow UDF (``make_pyproj_inverse_pandas_udf``).
+    """
+    if 32601 <= epsg <= 32660:
+        return reproject_utm(df, x, y, zone=epsg - 32600, south=False,
+                             round_digits=round_digits)
+    if 32701 <= epsg <= 32760:
+        return reproject_utm(df, x, y, zone=epsg - 32700, south=True,
+                             round_digits=round_digits)
+    if epsg == 3031:
+        return reproject_ps(df, x, y, round_digits=round_digits)
+    if epsg == 4326:
+        return df.withColumn(
+            "lon", F.round(F.col(x).cast("double"), round_digits)
+        ).withColumn(
+            "lat", F.round(F.col(y).cast("double"), round_digits))
+    udf = make_pyproj_inverse_pandas_udf(epsg, round_digits)
+    return (
+        df.withColumn("_ll", udf(F.col(x), F.col(y)))
+        .withColumn("lon", F.col("_ll.lon"))
+        .withColumn("lat", F.col("_ll.lat"))
+        .drop("_ll")
+    )
+
+
+def make_pyproj_inverse_pandas_udf(epsg: int, round_digits: int = 6):
+    """Arrow-vectorized pandas UDF projecting EPSG:<code> -> lon/lat via
+    pyproj. The Transformer is built lazily INSIDE the UDF (once per
+    executor process, cached in the closure) because pyproj handles
+    don't pickle; batches then reuse it. Raises NotImplementedError at
+    plan-build time when pyproj is not installed, naming the native
+    families that need no library."""
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            f"EPSG:{epsg} needs pyproj (not installed); closed-form "
+            "native support exists for UTM 326xx/327xx, polar "
+            "stereographic 3031, and lon/lat 4326") from e
+
+    state: dict = {}
+
+    @F.pandas_udf("struct<lon: double, lat: double>")
+    def pyproj_inverse_udf(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        import pyproj as _pp
+        if "t" not in state:
+            state["t"] = _pp.Transformer.from_crs(
+                f"EPSG:{epsg}", "EPSG:4326", always_xy=True)
+        lon, lat = state["t"].transform(
+            xs.to_numpy(np.float64), ys.to_numpy(np.float64))
+        return pd.DataFrame({"lon": np.round(lon, round_digits),
+                             "lat": np.round(lat, round_digits)})
+
+    return pyproj_inverse_udf
+
+
 def make_utm_inverse_pandas_udf(zone: int = 21, south: bool = True,
                                 round_digits: int = 6):
     """Arrow-vectorized pandas UDF returning struct<lon,lat> — the

@@ -275,3 +275,53 @@ def test_ps_synth_coords_never_hit_pole():
     x = (i * 7919 + 37) % 5000000 - 2500000
     y = (i * 104729 + 59) % 5000000 - 2500000
     assert int(((x == 0) & (y == 0)).sum()) == 0
+
+
+# ---------------------------------------------------------------------------
+# EPSG dispatch
+# ---------------------------------------------------------------------------
+
+def test_epsg_dispatch_utm_south(spark):
+    src = spark.range(500).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_UTM_EASTING} as double)").alias("e"),
+        F.expr(f"cast({R.SQL_UTM_NORTHING} as double)").alias("n"),
+    )
+    via_epsg = R.reproject_epsg(src, 32721, "e", "n").orderBy("i").collect()
+    direct = R.reproject_utm(src, "e", "n", zone=21, south=True) \
+        .orderBy("i").collect()
+    assert [(r.lon, r.lat) for r in via_epsg] == \
+           [(r.lon, r.lat) for r in direct]
+
+
+def test_epsg_dispatch_ps(spark):
+    src = spark.range(500).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_PS_X} as double)").alias("x_ps"),
+        F.expr(f"cast({R.SQL_PS_Y} as double)").alias("y_ps"),
+    )
+    via_epsg = R.reproject_epsg(src, 3031, "x_ps", "y_ps") \
+        .orderBy("i").collect()
+    direct = R.reproject_ps(src, "x_ps", "y_ps").orderBy("i").collect()
+    assert [(r.lon, r.lat) for r in via_epsg] == \
+           [(r.lon, r.lat) for r in direct]
+
+
+def test_epsg_dispatch_4326_passthrough(spark):
+    src = spark.createDataFrame([(1, -58.5, -34.6)], "i long, x double, y double")
+    out = R.reproject_epsg(src, 4326, "x", "y").collect()[0]
+    assert out.lon == -58.5 and out.lat == -34.6
+
+
+def test_epsg_dispatch_unknown_without_pyproj(spark):
+    """pyproj is absent in this container: exotic codes must fail fast
+    at plan-build time with actionable guidance, not mis-project."""
+    try:
+        import pyproj  # noqa: F401
+        return  # environment has pyproj; fallback path is live instead
+    except ImportError:
+        pass
+    src = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="pyproj"):
+        R.reproject_epsg(src, 2154, "x", "y")  # RGF93 / Lambert-93
