@@ -81,3 +81,59 @@ def test_general_pip_predicate_in_codegen(spark, sf_dir):
     # the ray-cast Filter itself carries a codegen id (not fallen back)
     filt = re.search(r"\(\d+\) Filter \[codegen id : \d+\]", fm)
     assert filt, fm[:1500]
+
+
+def test_chunk_and_scrub_are_shuffle_free(spark, sf_dir):
+    """Chunking and PII scrub stay map-side at any scale: no Exchange,
+    no Python eval in either plan."""
+    from geotiff_processor_spark.operators import textprep
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    for df in (textprep.chunk_tokens(docs), textprep.pii_scrub(docs)):
+        plan = _plan(df)
+        assert len(_exchanges(plan)) == 0, plan[:2000]
+        assert "EvalPython" not in plan
+
+
+def test_repetition_signals_digest_keyed_shuffles(spark, sf_dir):
+    """Two-phase repetition agg: both exchanges carry digests/counts —
+    the gram text column must be projected away before any shuffle."""
+    from geotiff_processor_spark.operators import textprep
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = _plan(textprep.repetition_signals(docs))
+    assert len(_exchanges(plan)) == 2, plan[:2000]
+    # the exploded gram column g never crosses an exchange: each
+    # Exchange's input projection carries only digests and ints
+    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert " g#" not in ex.group(1)
+
+
+def test_stratified_sample_broadcasts_rates(spark, sf_dir):
+    """The rate table joins broadcast; the corpus is never shuffled."""
+    from geotiff_processor_spark.operators import textprep
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    rates = spark.createDataFrame(
+        [("src0", 5000)], "source string, keep_per_10k int")
+    plan = _plan(textprep.stratified_sample(docs, rates))
+    assert "BroadcastHashJoin" in plan
+    assert len(_exchanges(plan)) == 0, plan[:2000]
+
+
+def test_cc_rounds_carry_two_bigints_only(spark):
+    """Label propagation shuffles (id, label) bigint pairs: the rows
+    crossing every round's exchange are exactly two 8-byte columns, so
+    round cost is bounded by node count regardless of document width.
+    The returned frame is a localCheckpoint scan (lineage truncated —
+    itself a scale property: plans don't grow with iteration count)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "key_a bigint, key_b bigint")
+    cc = dedup.connected_components(pairs, max_iter=1)
+    assert [f.dataType.simpleString() for f in cc.schema.fields] == \
+        ["bigint", "bigint"]
+    plan = _plan(cc)
+    # lineage was truncated: no exploded join tree survives to the
+    # returned plan, so iteration N's plan is as small as iteration 1's
+    assert "ExistingRDD" in plan or "Scan" in plan
+    assert len(_exchanges(plan)) == 0, plan[:2000]
