@@ -135,3 +135,49 @@ def test_checkpoint_write_empty_first_run(spark, sf_dir, tmp_path):
     # a later real commit lands normally and returns the full stage
     committed2 = lineage.checkpoint_write(g, out, "geocode", ["cell_pfx"])
     assert committed2.count() == g.count()
+
+
+def test_corpus_pipeline_end_to_end_and_resume(spark, sf_dir, tmp_path):
+    """The corpus-prep submit script: five stages commit with lineage
+    markers; dedup keeps exactly one doc per near-dup cluster; a
+    deleted tail stage is rebuilt on rerun while committed stages are
+    untouched."""
+    import importlib.util
+    import os
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_corpus_pipeline",
+        "/root/repo/scripts/submit_corpus_pipeline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "corpus")
+    mod.run(spark, docs_path, out)
+
+    stages = ["scored", "kept", "scrubbed", "sampled", "chunks"]
+    counts = {s: spark.read.parquet(f"{out}/{s}").count() for s in stages}
+    assert all(c > 0 for c in counts.values())
+    # monotone corpus narrowing: each filter stage keeps a subset
+    assert counts["kept"] <= counts["scored"]
+    assert counts["scrubbed"] == counts["kept"]
+    assert counts["sampled"] <= counts["scrubbed"]
+    assert counts["chunks"] >= counts["sampled"]  # 1:N chunking
+    assert spark.read.parquet(f"{out}/metrics").count() > 0
+
+    # resume: rebuild only the chunks stage
+    shutil.rmtree(f"{out}/chunks")
+    shutil.rmtree(f"{out}/chunks__done")
+    sentinel = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{out}/scored")
+        for f in fs if not f.startswith("_"))
+    mod.run(spark, docs_path, out)
+    counts2 = {s: spark.read.parquet(f"{out}/{s}").count() for s in stages}
+    assert counts2 == counts
+    rewritten = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{out}/scored")
+        for f in fs if not f.startswith("_"))
+    assert rewritten == sentinel
