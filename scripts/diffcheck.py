@@ -42,6 +42,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -51,9 +52,11 @@ def main():
             scols = sdf.columns
         except Exception as e:
             failures.append(name)
+            results[name] = {"err": str(e)[:200]}
             print(f"[SPARK-ERR] {name}: {str(e)[:300]}")
             continue
         if name not in oracles:
+            results[name] = {"rows_only": True, "rows": len(srows)}
             print(f"[rows-only] {name}: {len(srows)} rows")
             continue
         try:
@@ -80,7 +83,16 @@ def main():
             print(f"[VALUES] {name}: first diffs {bad}")
             continue
         print(f"[OK] {name}: {len(sn)} rows")
+        results[name] = {"rows_match": True, "schema_match": True,
+                         "hash_match": True, "rows": len(sn)}
     print("FAILURES:", failures or "none")
+    out_json = os.environ.get("SPARK_GRAFT_DIFFCHECK_JSON")
+    if out_json:
+        import json
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "failures": failures, "results": results}, f,
+                      indent=1)
     spark.stop()
     return 1 if failures else 0
 
