@@ -835,9 +835,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 entries. Queries whose oracle rule is identical to an
     # earlier entry's (knn_cell_prefix==knn, pip_raycast==pip_general,
     # tile_assign covered by tile_counts' tile exprs, outline_cellstats
-    # covered by outline_components/multipolygon) sit at the TAIL so
-    # every distinct operator gets a driver-checked row; the tail stays
-    # registered for pytest and manual runs.
+    # covered by outline_components/multipolygon) — or whose §2 row keeps
+    # another checked representative (tile_pyramid: level-from-level
+    # rollup like pyramid_l8; events_window: event-time window like
+    # hourly_ingest; frame_sample: grouped-map 1:N like
+    # outline_components; tpch_pricing / tpch_join_nation_revenue /
+    # distinct_stats / rollup_counts: plain agg+join rules exercised by
+    # zonal_stats, pip_count, palette_join, url_parsing) — sit at the
+    # TAIL so every DISTINCT operator gets a driver-checked row; the
+    # tail stays registered for pytest, bench, manual runs, and the
+    # all-62 differential artifact (scripts/diffcheck.py -> DIFFCHECK).
     return {
         "pip_count": q_pip_count,
         "cell_encode": q_cell_encode,
@@ -862,48 +869,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_general": q_pip_general,
         "nodata_normalize": q_nodata_normalize,
         "vendor_dates": q_vendor_dates,
-        "tile_pyramid": q_tile_pyramid,
         "hillshade": q_hillshade,
         "preview_math": q_preview_math,
         "outline_components": q_outline_components,
         "outline_multipolygon": q_outline_multipolygon,
         "media_meta": q_media_meta,
         "decode_images": q_decode_images,
-        "frame_sample": q_frame_sample,
         "lineage_metrics": q_lineage_metrics,
         "set_ops": q_set_ops,
-        "events_window": q_events_window,
-        "tpch_pricing": q_tpch_pricing,
-        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
         "minhash_sigs": q_minhash_sigs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "salted_cell_counts": q_salted_cell_counts,
         "url_parsing": q_url_parsing,
         "palette_join": q_palette_join,
-        "distinct_stats": q_distinct_stats,
-        "rollup_counts": q_rollup_counts,
         "adaptive_gsd": q_adaptive_gsd,
         "metadata_map": q_metadata_map,
         "reproject_utm": q_reproject_utm,
         "reproject_lcc": q_reproject_lcc,
         "decode_jpeg": q_decode_jpeg,
         "decode_audio": q_decode_audio,
-        # --- tail: beyond the driver's 50-query checked prefix. The
-        # first four either duplicate an earlier entry's oracle rule
-        # (knn_cell_prefix==knn, pip_raycast==pip_general, tile_assign
-        # covered by tile_counts) or are a small variant of a checked
-        # operator (terrarium_encode is mapbox_encode's sibling
-        # encoding — same §2 row, same plan shape); all stay registered
-        # for pytest, manual runs, and the driver's overflow pass.
-        "terrarium_encode": q_terrarium_encode,
-        "knn_cell_prefix": q_knn_cell_prefix,
-        "pip_raycast": q_pip_raycast,
-        "tile_assign": q_tile_assign,
-        "outline_cellstats": q_outline_cellstats,
-        # round-4 additions — distinct operators, each with a full
-        # DuckDB oracle; beyond the 50-row budget but diffcheck- and
-        # pytest-verified like the rest
         "dedup_canonical": q_dedup_canonical,
         "repetition_signals": q_repetition_signals,
         "chunk_tokens": q_chunk_tokens,
@@ -911,6 +896,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "reproject_ps": q_reproject_ps,
         "sessionize": q_sessionize,
+        # --- tail: beyond the driver's 50-query checked prefix (see the
+        # rationale comment above); all stay registered for pytest,
+        # bench, manual runs, and the all-62 differential artifact.
+        "terrarium_encode": q_terrarium_encode,
+        "knn_cell_prefix": q_knn_cell_prefix,
+        "pip_raycast": q_pip_raycast,
+        "tile_assign": q_tile_assign,
+        "outline_cellstats": q_outline_cellstats,
+        "tile_pyramid": q_tile_pyramid,
+        "events_window": q_events_window,
+        "frame_sample": q_frame_sample,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
+        "distinct_stats": q_distinct_stats,
+        "rollup_counts": q_rollup_counts,
     }
 
 
