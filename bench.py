@@ -108,38 +108,69 @@ def flagship_pipeline(spark, pages):
     )
 
 
+def _percpu_busy() -> dict[int, int]:
+    """Per-CPU busy jiffies (total minus idle+iowait) from /proc/stat."""
+    busy = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and line[3:4].isdigit():
+                parts = line.split()
+                vals = [int(v) for v in parts[1:]]
+                busy[int(parts[0][3:])] = sum(vals) - vals[3] - vals[4]
+    return busy
+
+
 def run_flagship(master: str, pages_path: str,
-                 n_timed: int = 2) -> tuple[float, int, float]:
-    """Returns (pages/sec, n_pages, steal_iter) where ``steal_iter`` is
-    the hypervisor-steal fraction DURING the best (= fastest) timed
-    iteration only. Steal during JVM startup, the parquet read, or the
-    warm-up run cannot contaminate a timed iteration it does not
-    overlap, so the contamination verdict for a measurement is the
-    steal of exactly the iteration whose time is published."""
+                 n_timed: int = 2) -> tuple[float, int, float, float]:
+    """Returns (pages/sec, n_pages, steal_iter, foreign_iter) where the
+    last two are measured DURING the best (= fastest) timed iteration
+    only: steal during JVM startup, the parquet read, or the warm-up
+    run cannot contaminate a timed iteration it does not overlap.
+
+    ``foreign_iter`` is the busy fraction of the CPUs OUTSIDE this
+    process's pinned affinity set during that iteration. The worker and
+    its JVM are pinned to exactly N cores, so busy time on the other
+    cores is some OTHER process on this same VM — load that depresses
+    the measurement without registering as hypervisor steal (observed
+    round 4: a concurrent build job crushed a pinned local[8] run to
+    0.57M pages/s while steal read 0.05%, yielding a nonsense
+    super-linear 'clean' attempt). An unpinned foreign process spreads
+    over all cores, so outside-core busy is a sensitive detector of
+    same-VM contention on the pinned cores too. At local[32] the
+    outside set is empty and foreign reads 0 — contamination there can
+    only DEPRESS pps32, i.e. understate efficiency, the safe
+    direction."""
     spark = _session(master)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
     n = pages.count()
+    allowed = os.sched_getaffinity(0)
     # warm run settles JIT of generated code; then MIN of n timed runs —
     # the host is multi-tenant (noisy neighbors), and min-of-N is the
     # robust estimator of the job's true cost under external noise
     job = flagship_pipeline(spark, pages)
     _force(job)
+    hz = os.sysconf("SC_CLK_TCK")
     runs = []
     for _ in range(n_timed):
         s0, c0 = _cpu_counters()
+        b0 = _percpu_busy()
         t0 = time.perf_counter()
         _force(job)
         dt = time.perf_counter() - t0
         s1, c1 = _cpu_counters()
-        runs.append((dt, (s1 - s0) / max(c1 - c0, 1)))
-    dt, steal_iter = min(runs)
+        b1 = _percpu_busy()
+        outside = [c for c in b1 if c not in allowed and c in b0]
+        foreign = (sum(b1[c] - b0[c] for c in outside)
+                   / max(len(outside) * dt * hz, 1e-9)) if outside else 0.0
+        runs.append((dt, (s1 - s0) / max(c1 - c0, 1), foreign))
+    dt, steal_iter, foreign_iter = min(runs)
     spark.stop()
-    return n / dt, n, steal_iter
+    return n / dt, n, steal_iter, foreign_iter
 
 
 def run_flagship_pinned(ncpus: int, pages_path: str,
-                        n_timed: int) -> tuple[float, int, float]:
+                        n_timed: int) -> tuple[float, int, float, float]:
     """Run the flagship at local[ncpus] in a subprocess whose CPU
     affinity is EXACTLY ``ncpus`` cores (JVM inherits it).
 
@@ -167,7 +198,8 @@ def run_flagship_pinned(ncpus: int, pages_path: str,
             f"pinned local[{ncpus}] flagship failed rc={out.returncode}: "
             f"{out.stderr[-500:]}")
     d = json.loads(lines[-1])
-    return d["pps"], d["n"], d.get("steal_iter", 0.0)
+    return (d["pps"], d["n"], d.get("steal_iter", 0.0),
+            d.get("foreign_iter", 0.0))
 
 
 def _pin_first(n: int) -> None:
@@ -180,14 +212,19 @@ def _pin_first(n: int) -> None:
 def _flagship_worker(argv: list[str]) -> None:
     ncpus, pages_path, n_timed = int(argv[0]), argv[1], int(argv[2])
     _pin_first(ncpus)  # before the JVM launches
-    pps, n, steal_iter = run_flagship(f"local[{ncpus}]", pages_path,
-                                      n_timed=n_timed)
-    print(json.dumps({"pps": pps, "n": n, "steal_iter": steal_iter}))
+    pps, n, steal_iter, foreign_iter = run_flagship(
+        f"local[{ncpus}]", pages_path, n_timed=n_timed)
+    print(json.dumps({"pps": pps, "n": n, "steal_iter": steal_iter,
+                      "foreign_iter": foreign_iter}))
 
 
-def _attempt_pair(pages_path: str) -> tuple[float, float, float, float, int]:
+def _attempt_pair(
+        pages_path: str) -> tuple[float, float, float, float, float, int]:
     """One short pinned 8-then-32 measurement pair; returns
-    (pps8, pps32, steal_window, steal_iter, n_pages).
+    (pps8, pps32, steal_window, steal_iter, foreign_iter, n_pages).
+    ``foreign_iter`` is same-VM non-benchmark CPU load observed on the
+    cores outside the pinned set during the published iterations — see
+    run_flagship; it catches contention hypervisor steal cannot.
 
     ``steal_window`` covers each whole subprocess (JVM boot + parquet
     read + warm-up + all timed runs, ~90 s of exposure);
@@ -208,14 +245,15 @@ def _attempt_pair(pages_path: str) -> tuple[float, float, float, float, int]:
     depressed half). Many short attempts + per-master max converge."""
     (r8, st8) = _steal_window(
         lambda: run_flagship_pinned(8, pages_path, n_timed=3))
-    pps8, n_pages, si8 = r8
+    pps8, n_pages, si8, fi8 = r8
     # min-of-6 on the 32-side: a single ~3.5 s clean run inside the
     # attempt is enough for a faithful reading, and clean micro-windows
     # are common even inside contended minutes
     (r32, st32) = _steal_window(
         lambda: run_flagship_pinned(32, pages_path, n_timed=6))
-    pps32_, _, si32 = r32
-    return pps8, pps32_, max(st8, st32), max(si8, si32), n_pages
+    pps32_, _, si32, fi32 = r32
+    return (pps8, pps32_, max(st8, st32), max(si8, si32),
+            max(fi8, fi32), n_pages)
 
 
 def _cpu_counters() -> tuple[int, int]:
@@ -424,19 +462,23 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
         return {**base, "skipped": True, "clean": False,
                 "steal": round(sw, 4)}
     try:
-        pps8, pps32_, st, st_iter, n_pages = _attempt_pair(pages_path)
+        (pps8, pps32_, st, st_iter, f_iter,
+         n_pages) = _attempt_pair(pages_path)
     except (RuntimeError, json.JSONDecodeError, OSError) as e:
         return {**base, "error": str(e)[:300], "clean": False}
     sw2, p8b, p32b = _window_quality(steal_s=1.0)
     post_good = _window_good(sw2, p8b, p32b, steal_clean, probe_gate)
     # clean == the machine could scale around the attempt (pre/post
-    # probe windows) AND the two PUBLISHED iterations ran steal-free;
-    # whole-window steal is reported alongside for context
-    clean = pre_good and post_good and st_iter < steal_clean
+    # probe windows) AND the two PUBLISHED iterations ran free of both
+    # hypervisor steal and same-VM foreign load; whole-window steal is
+    # reported alongside for context
+    clean = (pre_good and post_good and st_iter < steal_clean
+             and f_iter < 0.03)
     return {**base,
             "pps8": round(pps8, 1), "pps32": round(pps32_, 1),
             "steal": round(max(st, sw2), 4),
             "steal_iter": round(st_iter, 4),
+            "foreign_iter": round(f_iter, 4),
             "probe8": round(max(p8, p8b), 1),
             "probe32": round(max(p32, p32b), 1),
             "post_good": post_good, "clean": clean,
