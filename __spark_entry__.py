@@ -830,6 +830,20 @@ def q_sessionize(spark, sf_dir):
     return sessions.sessionize(events)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (word-3-gram collision vs an eval set,
+    Brown et al. 2020 App. C): every 97th document stands in for the
+    benchmark; its distinct gram digests broadcast, the corpus side
+    joins map-side and aggregates hit counts per doc. One row per doc
+    so the keep-set is a downstream filter."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return textprep.decontaminate(docs, bench)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -911,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
         "distinct_stats": q_distinct_stats,
         "rollup_counts": q_rollup_counts,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1529,6 +1544,31 @@ SELECT c.doc_id, c.canonical_id,
 FROM canon c JOIN sizes s USING (canonical_id)"""
     from geotiff_processor_spark.operators.sessions import sql_sessionize
     sql["sessionize"] = sql_sessionize()
+    # decontamination: same gram construction as repetition_signals
+    # (n=3), benchmark = every 97th doc, hits counted over NON-distinct
+    # doc grams vs DISTINCT benchmark digests
+    sql["decontaminate"] = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(w) - 2, 1) + 1),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+bench AS (
+  SELECT DISTINCT md5(g) AS gh FROM grams WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT dg.doc_id, count(*) AS nh, count(DISTINCT dg.gh) AS nd
+  FROM (SELECT doc_id, md5(g) AS gh FROM grams) dg
+  JOIN bench USING (gh)
+  GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+  cast(coalesce(h.nh, 0) as bigint) AS n_hit_grams,
+  cast(coalesce(h.nd, 0) as bigint) AS n_distinct_hit_grams,
+  cast(case when coalesce(h.nh, 0) > 0 then 1 else 0 end as int)
+    AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
     from geotiff_processor_spark.functions import jpeg as Jp
     _r, _g, _b = Jp.sql_ycbcr_to_rgb("yv", "cbv", "crv")

@@ -19,6 +19,9 @@ between raw ingest and tokenization:
   md5-derived uniform (dedup.sql_hash60) against a broadcast rate
   table. Map-side filter, no shuffle, reproducible across runs and
   engines (no rand()).
+- ``decontaminate``: benchmark-overlap flagging via word n-gram
+  collision (Brown et al. 2020 App. C) — broadcast benchmark digests,
+  map-side gram hash join, per-doc hit counts.
 
 Each operator has a DuckDB-dialect SQL mirror in ``__spark_entry__`` so
 the differential oracle reproduces values bit-for-bit.
@@ -176,4 +179,55 @@ def stratified_sample(docs: DataFrame, rates: DataFrame,
         .withColumn("_thr", F.coalesce(F.col("keep_per_10k"), F.lit(mod)))
         .filter(F.col("strat_u") < F.col("_thr"))
         .select(key_col, source_col, "strat_u")
+    )
+
+
+DECON_NGRAM = 3
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  key_col: str = "doc_id", text_col: str = "text",
+                  n: int = DECON_NGRAM) -> DataFrame:
+    """Benchmark decontamination: per training document, count word
+    n-grams shared with an evaluation benchmark (the n-gram-collision
+    rule of Brown et al. 2020, "Language Models are Few-Shot Learners",
+    App. C — public literature). Returns one row per doc:
+    (key, n_hit_grams, n_distinct_hit_grams, contaminated 0/1) so the
+    keep-set is a trivial downstream filter and audits can rank by
+    overlap instead of hard-dropping.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (thousands of eval items vs 10^12 docs) — its distinct gram digests
+    are BROADCAST. The corpus side explodes grams map-side, hashes each
+    to a 32-hex md5 (gram text never shuffles), hash-joins against the
+    broadcast set map-side, and partial-aggregates per doc; the only
+    corpus-wide shuffle carries (key, digest) rows for HITS only, which
+    decontamination makes rare by construction. The final left join
+    back to the doc list keys on ``key_col`` and carries two ints.
+    """
+    bench_grams = (
+        bench.select(F.explode(_grams(text_col, n)).alias("g"))
+        .select(F.md5("g").alias("gh")).distinct()
+    )
+    doc_grams = (
+        docs.select(key_col, F.explode(_grams(text_col, n)).alias("g"))
+        .select(key_col, F.md5("g").alias("gh"))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"),
+             F.countDistinct("gh").alias("n_distinct_hit_grams"))
+    )
+    return (
+        docs.select(key_col).join(hits, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_hit_grams", F.lit(0)).cast("bigint")
+            .alias("n_hit_grams"),
+            F.coalesce("n_distinct_hit_grams", F.lit(0)).cast("bigint")
+            .alias("n_distinct_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).cast("int")
+            .alias("contaminated"),
+        )
     )

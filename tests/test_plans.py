@@ -137,3 +137,16 @@ def test_cc_rounds_carry_two_bigints_only(spark):
     # returned plan, so iteration N's plan is as small as iteration 1's
     assert "ExistingRDD" in plan or "Scan" in plan
     assert len(_exchanges(plan)) == 0, plan[:2000]
+
+
+def test_decontaminate_broadcast_gram_join(spark, sf_dir):
+    """The benchmark gram set must broadcast: the corpus side's gram
+    join runs map-side, and the only corpus-scale exchanges are the
+    per-doc hit partial-agg and the final key join — never an exchange
+    of all exploded corpus grams by gram hash."""
+    from geotiff_processor_spark.operators import textprep
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = _plan(textprep.decontaminate(docs, docs.limit(50)))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert not re.search(r"Exchange hashpartitioning\(gh", plan), plan

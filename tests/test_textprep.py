@@ -176,3 +176,38 @@ def test_dedup_canonical_end_to_end_planted(spark, sf_dir):
     assert by_id[20].cluster_size == 2  # 20, 100020
     assert by_id[100020].canonical_id == 20
     assert by_id[1].cluster_size == 1 and by_id[1].kept == 1
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_hand_case(spark):
+    # benchmark doc: "q w e r t" -> 3-grams {q w e, w e r, e r t}
+    # doc 2 contains "w e r" once -> 1 hit; doc 3 repeats it twice;
+    # doc 4 shares nothing
+    docs = _docs(spark, [
+        (1, "q w e r t"),
+        (2, "x x w e r y"),
+        (3, "w e r z w e r"),
+        (4, "a b c d"),
+    ])
+    out = {r.doc_id: r for r in
+           textprep.decontaminate(docs, docs.filter("doc_id = 1"))
+           .collect()}
+    assert out[1].contaminated == 1 and out[1].n_hit_grams == 3
+    assert out[2].n_hit_grams == 1 and out[2].n_distinct_hit_grams == 1
+    assert out[3].n_hit_grams == 2 and out[3].n_distinct_hit_grams == 1
+    assert out[4].contaminated == 0 and out[4].n_hit_grams == 0
+    # every doc reported exactly once, hit or not
+    assert sorted(out) == [1, 2, 3, 4]
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    # docs shorter than n collapse to a single whole-text gram, so an
+    # exact short-text match across bench/corpus still collides
+    docs = _docs(spark, [(1, "hi there"), (2, "hi there"), (3, "bye")])
+    out = {r.doc_id: r for r in
+           textprep.decontaminate(docs, docs.filter("doc_id = 1"))
+           .collect()}
+    assert out[2].contaminated == 1 and out[3].contaminated == 0
