@@ -218,10 +218,11 @@ def _flagship_worker(argv: list[str]) -> None:
                       "foreign_iter": foreign_iter}))
 
 
-def _attempt_pair(
-        pages_path: str) -> tuple[float, float, float, float, float, int]:
+def _attempt_pair(pages_path: str):
     """One short pinned 8-then-32 measurement pair; returns
-    (pps8, pps32, steal_window, steal_iter, foreign_iter, n_pages).
+    (pps8, pps32, steal_window, steal_iter, foreign_iter,
+    mid_window, n_pages) where mid_window is a (steal, probe8,
+    probe32) quality reading taken BETWEEN the two sides.
     ``foreign_iter`` is same-VM non-benchmark CPU load observed on the
     cores outside the pinned set during the published iterations — see
     run_flagship; it catches contention hypervisor steal cannot.
@@ -246,6 +247,13 @@ def _attempt_pair(
     (r8, st8) = _steal_window(
         lambda: run_flagship_pinned(8, pages_path, n_timed=3))
     pps8, n_pages, si8, fi8 = r8
+    # mid-attempt probe: the host also throttles SILENTLY (no steal, no
+    # visible foreign process — observed: pinned local[8] at 0.57M
+    # pages/s, steal_iter 0.2%, foreign 0.2%, post-probe collapsed).
+    # Bracketing probes are the only detector for that mode; a probe
+    # BETWEEN the sides closes the gap where a dip could cover the
+    # 8-side yet recover before the post-probe.
+    sw_mid, p8_mid, p32_mid = _window_quality(steal_s=1.0)
     # min-of-6 on the 32-side: a single ~3.5 s clean run inside the
     # attempt is enough for a faithful reading, and clean micro-windows
     # are common even inside contended minutes
@@ -253,7 +261,7 @@ def _attempt_pair(
         lambda: run_flagship_pinned(32, pages_path, n_timed=6))
     pps32_, _, si32, fi32 = r32
     return (pps8, pps32_, max(st8, st32), max(si8, si32),
-            max(fi8, fi32), n_pages)
+            max(fi8, fi32), (sw_mid, p8_mid, p32_mid), n_pages)
 
 
 def _cpu_counters() -> tuple[int, int]:
@@ -462,18 +470,22 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
         return {**base, "skipped": True, "clean": False,
                 "steal": round(sw, 4)}
     try:
-        (pps8, pps32_, st, st_iter, f_iter,
+        (pps8, pps32_, st, st_iter, f_iter, mid,
          n_pages) = _attempt_pair(pages_path)
     except (RuntimeError, json.JSONDecodeError, OSError) as e:
         return {**base, "error": str(e)[:300], "clean": False}
+    mid_good = _window_good(mid[0], mid[1], mid[2], steal_clean,
+                            probe_gate)
     sw2, p8b, p32b = _window_quality(steal_s=1.0)
     post_good = _window_good(sw2, p8b, p32b, steal_clean, probe_gate)
-    # clean == the machine could scale around the attempt (pre/post
-    # probe windows) AND the two PUBLISHED iterations ran free of both
+    # clean == the machine could scale THROUGHOUT the attempt
+    # (pre/mid/post probes bracket each side — the only detector for
+    # silent grant throttling, which shows neither steal nor a foreign
+    # process) AND the two PUBLISHED iterations ran free of both
     # hypervisor steal and same-VM foreign load; whole-window steal is
     # reported alongside for context
-    clean = (pre_good and post_good and st_iter < steal_clean
-             and f_iter < 0.03)
+    clean = (pre_good and mid_good and post_good
+             and st_iter < steal_clean and f_iter < 0.03)
     return {**base,
             "pps8": round(pps8, 1), "pps32": round(pps32_, 1),
             "steal": round(max(st, sw2), 4),
@@ -481,6 +493,7 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
             "foreign_iter": round(f_iter, 4),
             "probe8": round(max(p8, p8b), 1),
             "probe32": round(max(p32, p32b), 1),
+            "mid_good": mid_good,
             "post_good": post_good, "clean": clean,
             "n_pages": n_pages,
             "eff_raw": round(pps32_ / pps8 / 4, 3) if pps8 else 0.0}
