@@ -844,6 +844,18 @@ def q_decontaminate(spark, sf_dir):
     return textprep.decontaminate(docs, bench)
 
 
+def q_lm_score(spark, sf_dir):
+    """Unigram LM quality score (CCNet-style filter stage): corpus
+    token frequencies -> broadcast model -> per-doc log-probability.
+    The model shuffle is bounded by vocabulary size, scoring is a
+    map-side broadcast join."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return textprep.lm_score(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -926,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_stats": q_distinct_stats,
         "rollup_counts": q_rollup_counts,
         "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1569,6 +1582,22 @@ SELECT d.doc_id,
   cast(case when coalesce(h.nh, 0) > 0 then 1 else 0 end as int)
     AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
+    # unigram LM score: ln() on doubles in both engines; the per-doc
+    # sums are rounded to 6 decimals so summation order and last-ulp
+    # libm differences cannot drift the hash
+    sql["lm_score"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+model AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_tokens,
+  round(sum(ln(cast(df as double) / n_total)), 6) AS logprob_sum,
+  round(sum(ln(cast(df as double) / n_total)) / count(*), 6)
+    AS logprob_per_token
+FROM toks JOIN model USING (tok) CROSS JOIN tot
+GROUP BY doc_id"""
 
     from geotiff_processor_spark.functions import jpeg as Jp
     _r, _g, _b = Jp.sql_ycbcr_to_rgb("yv", "cbv", "crv")

@@ -231,3 +231,41 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
             .alias("contaminated"),
         )
     )
+
+
+def lm_score(docs: DataFrame, key_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Unigram language-model quality score per document (the LM-filter
+    stage of CCNet, Wenzek et al. 2020 — public literature — with a
+    unigram model in place of a trained KenLM): per doc,
+    (n_tokens, logprob_sum, logprob_per_token) under token frequencies
+    estimated from the corpus itself. Low per-token log-probability
+    flags gibberish / non-language documents; high flags boilerplate.
+
+    Scale shape: the model is a token -> document-frequency table —
+    one corpus shuffle bounded by VOCABULARY size after map-side
+    partial aggregation, then broadcast back (a natural-language vocab
+    is dimension-sized at any corpus scale; at 100 TB persist the
+    model once and reuse it instead of recomputing per run). Scoring
+    is a map-side broadcast join + one per-doc partial-agg shuffle
+    carrying (key, count, double). Unseen tokens (external-model use)
+    fall back to a 0.5 pseudo-count. Sums are rounded to 6 decimals so
+    the score is reproducible across engines and summation orders.
+    """
+    toks = docs.select(
+        key_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = F.log(F.coalesce(F.col("df").cast("double"), F.lit(0.5))
+               / F.col("n_total"))
+    return (
+        toks.join(F.broadcast(model), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum(lp), 6).alias("logprob_sum"),
+            F.round(F.sum(lp) / F.count(F.lit(1)), 6)
+            .alias("logprob_per_token"),
+        )
+    )

@@ -211,3 +211,32 @@ def test_decontaminate_short_doc_whole_text_gram(spark):
            textprep.decontaminate(docs, docs.filter("doc_id = 1"))
            .collect()}
     assert out[2].contaminated == 1 and out[3].contaminated == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+# ---------------------------------------------------------------------------
+
+def test_lm_score_hand_case(spark):
+    # corpus: "a a b" + "a c" -> df: a=3, b=1, c=1; total=5
+    import math
+    out = {r.doc_id: r for r in
+           textprep.lm_score(_docs(spark, [(1, "a a b"), (2, "a c")]))
+           .collect()}
+    lp_a, lp_b = math.log(3 / 5), math.log(1 / 5)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert out[1].logprob_sum == round(2 * lp_a + lp_b, 6)
+    assert out[2].logprob_per_token == round((lp_a + lp_b) / 2, 6)
+    # rarer tokens -> lower per-token logprob
+    assert out[2].logprob_per_token < out[1].logprob_per_token
+
+
+def test_lm_score_model_broadcast_plan(spark):
+    # the token->df model must broadcast; corpus tokens are never
+    # exchanged by token for the scoring join
+    import re
+    from tests.test_plans import _plan
+    docs = _docs(spark, [(i, f"w{i % 7} w{i % 3}") for i in range(50)])
+    plan = _plan(textprep.lm_score(docs))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert not re.search(r"SortMergeJoin \[tok", plan), plan
