@@ -10,9 +10,14 @@ import bench
 
 
 def _e(pps8, pps32, clean, probe8=50.0, probe32=180.0, **kw):
+    # when clean=True, carry the full field set the round-4 recomputed
+    # criterion (_attempt_clean) checks; when False, fail its probes
     d = {"ts": "2026-08-17T00:00:00+00:00", "pps8": pps8, "pps32": pps32,
          "clean": clean, "probe8": probe8, "probe32": probe32,
-         "steal": 0.001, "n_pages": 25_600_000}
+         "steal": 0.001, "n_pages": 25_600_000,
+         "pre_good": clean, "mid_good": clean, "boost8": 1.02,
+         "steal_iter": 0.001, "foreign_iter": 0.0,
+         "eff_raw": min(round(pps32 / pps8 / 4, 3), 1.0) if pps8 else 0.0}
     d.update(kw)
     return d
 
@@ -74,3 +79,25 @@ def test_load_clean_cached_filters_hash_pages_and_cleanliness(
     got = bench._load_clean_cached("pages_a.parquet", "aaaa")
     assert len(got) == 1
     assert got[0]["code_hash"] == "aaaa"
+
+
+def test_attempt_clean_recomputed_criterion():
+    base = _e(2_000_000, 6_400_000, True)
+    assert bench._attempt_clean(base)
+    # records predating the operating-point guard (no boost8) never
+    # qualify — their 8-side may have run on boosted-idle cores
+    old = dict(base)
+    del old["boost8"]
+    assert not bench._attempt_clean(old)
+    # boosted published iteration -> denominator on overclocked cores
+    assert not bench._attempt_clean({**base, "boost8": 1.6})
+    # super-linear raw efficiency is itself evidence of a depressed
+    # denominator; the cap only discards too-GOOD readings
+    assert not bench._attempt_clean({**base, "eff_raw": 1.4})
+    # iteration-level contamination gates
+    assert not bench._attempt_clean({**base, "steal_iter": 0.05})
+    assert not bench._attempt_clean({**base, "foreign_iter": 0.10})
+    # 8-side bracketing probes are required; post is context only
+    assert not bench._attempt_clean({**base, "mid_good": False})
+    assert bench._attempt_clean({**base, "post_good": False})
+    assert not bench._attempt_clean({**base, "skipped": True})
