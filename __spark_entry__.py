@@ -856,6 +856,41 @@ def q_lm_score(spark, sf_dir):
     return textprep.lm_score(docs)
 
 
+def q_shuffle_rank(spark, sf_dir):
+    """Deterministic training-order shuffle: hash-derived shard +
+    within-shard position — the distributed substitute for a global
+    permutation (one hash shuffle + per-shard window sort; no global
+    orderBy, no rand())."""
+    from geotiff_processor_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return corpus.shuffle_rank(docs)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing of the shuffled token stream
+    into 512-token training sequences: ROWS-framed running sum per
+    shard reuses the shuffle partitioning — packing adds no shuffle
+    beyond the shuffle itself."""
+    from geotiff_processor_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return corpus.pack_sequences(docs)
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document quota (crawl balancing): keep the 30
+    lowest-hash docs per source, so membership is deterministic and
+    stable as the corpus grows. One source-keyed shuffle."""
+    from geotiff_processor_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    return corpus.source_cap(docs, cap=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -939,6 +974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
+        "shuffle_rank": q_shuffle_rank,
+        "pack_sequences": q_pack_sequences,
+        "source_cap": q_source_cap,
     }
 
 
@@ -1598,6 +1636,45 @@ SELECT doc_id,
     AS logprob_per_token
 FROM toks JOIN model USING (tok) CROSS JOIN tot
 GROUP BY doc_id"""
+
+    # corpus-assembly family: identical seeded md5 hash + identical
+    # (h, doc_id) window orders in both engines => bit-for-bit ranks,
+    # cumsums, and pack offsets
+    from geotiff_processor_spark.operators import corpus as Co
+    _ch = Co.sql_shuffle_h("doc_id", "duckdb")
+    sql["shuffle_rank"] = f"""
+WITH h AS (SELECT doc_id, {_ch} AS h FROM documents)
+SELECT doc_id, cast(h % {Co.N_SHARDS} as int) AS shard,
+  cast(row_number() OVER (PARTITION BY h % {Co.N_SHARDS}
+                          ORDER BY h, doc_id) - 1 as bigint) AS pos
+FROM h"""
+    sql["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, {_ch} AS h,
+    array_length(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, cast(h % {Co.N_SHARDS} as int) AS shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY h % {Co.N_SHARDS}
+                        ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - n_tokens AS st
+  FROM t
+)
+SELECT doc_id, shard, cast(n_tokens as bigint) AS n_tokens,
+  cast(floor(cast(st as double) / {Co.PACK_BUDGET}) as bigint) AS seq_id,
+  cast(st % {Co.PACK_BUDGET} as bigint) AS seq_offset
+FROM s"""
+    sql["source_cap"] = f"""
+WITH h AS (SELECT doc_id, source, {_ch} AS h FROM documents)
+SELECT doc_id, source,
+  cast(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       as bigint) AS src_rank,
+  cast(case when row_number() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) <= 30
+       then 1 else 0 end as int) AS kept
+FROM h"""
 
     from geotiff_processor_spark.functions import jpeg as Jp
     _r, _g, _b = Jp.sql_ycbcr_to_rgb("yv", "cbv", "crv")

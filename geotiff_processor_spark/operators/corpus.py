@@ -1,0 +1,121 @@
+"""Corpus-assembly operators: the stages between a cleaned document set
+and training-ready shards.
+
+Beyond the reference's raster scope (it has no text surface), these are
+the export-side steps a 100 TB pretraining pipeline runs after
+filtering/dedup (textprep.py) and before tokenized output:
+
+- ``shuffle_rank``: deterministic global training-order shuffle.
+  Hash-derived shard + within-shard position — the standard
+  distributed substitute for a true global permutation: one hash
+  partition shuffle and a per-shard local sort, never a global sort or
+  a driver-side permutation. Reproducible across runs and engines (no
+  ``rand()``; md5 of a seeded key).
+- ``pack_sequences``: greedy concat-and-split sequence packing.
+  Documents are laid out in shuffle order and the token stream is cut
+  every ``budget`` tokens; each doc gets the sequence id and offset
+  where it STARTS (long docs span sequences — inherent to
+  concat-split packing). Window cumsum per shard: the ROWS-framed
+  running sum reuses the shard partitioning, so packing adds no
+  shuffle beyond the shuffle_rank one.
+- ``source_cap``: per-source document quota (crawl balancing — no
+  single domain/source may contribute more than ``cap`` docs). The
+  kept set is the ``cap`` lowest-hash docs per source, so membership
+  is deterministic and stable under corpus growth (a doc's keep/drop
+  flips only when lower-hash docs arrive in its source). One
+  source-keyed shuffle; at corpus scale source cardinality >> executor
+  count, and residual heavy sources re-balance via AQE skew handling.
+
+All three are pure window/hash compositions — one codegen stage plus
+the single shuffle each needs — with DuckDB oracle mirrors in
+``__spark_entry__`` (row_number / ROWS-framed sum over identical
+(hash, key) orders, so values match bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.operators.dedup import sql_hash60
+
+SHUFFLE_SEED = 7
+N_SHARDS = 64
+PACK_BUDGET = 512
+
+
+def sql_shuffle_h(key_expr: str, dialect: str = "spark",
+                  seed: int = SHUFFLE_SEED) -> str:
+    """Seeded 60-bit shuffle hash of a key; identical in both engines
+    (both hash the same 's<seed>-<decimal>' string)."""
+    cast_t = "varchar" if dialect == "duckdb" else "string"
+    return sql_hash60(f"('s{seed}-' || cast({key_expr} as {cast_t}))",
+                      dialect)
+
+
+def shuffle_rank(docs: DataFrame, key_col: str = "doc_id",
+                 seed: int = SHUFFLE_SEED,
+                 n_shards: int = N_SHARDS) -> DataFrame:
+    """(key, shard, pos): deterministic training-order shuffle.
+
+    shard = h % n_shards, pos = rank of h within the shard. Size
+    ``n_shards`` so one shard is one output file at the target scale
+    (e.g. ~100k shards at 100 TB); the per-shard sort is Spark's
+    normal per-partition window sort, not a global orderBy.
+    """
+    h = F.expr(sql_shuffle_h(key_col, "spark", seed))
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        docs.select(key_col, h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def pack_sequences(docs: DataFrame, key_col: str = "doc_id",
+                   text_col: str = "text", budget: int = PACK_BUDGET,
+                   seed: int = SHUFFLE_SEED,
+                   n_shards: int = N_SHARDS) -> DataFrame:
+    """(key, shard, n_tokens, seq_id, seq_offset): concat-and-split
+    packing of the shuffled token stream into ``budget``-token
+    sequences, per shard.
+
+    seq_id/seq_offset locate where the doc STARTS in the shard's
+    packed stream: start = (running token total before the doc),
+    seq_id = start div budget, seq_offset = start mod budget. The
+    whitespace token count mirrors textprep.chunk_tokens.
+    """
+    h = F.expr(sql_shuffle_h(key_col, "spark", seed))
+    w = (Window.partitionBy("shard").orderBy("h", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.select(key_col, h.alias("h"), toks.alias("n_tokens"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("start",
+                    (F.sum("n_tokens").over(w) - F.col("n_tokens")))
+        .select(
+            key_col, "shard",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(F.col("start") / budget).cast("bigint")
+            .alias("seq_id"),
+            (F.col("start") % budget).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+def source_cap(docs: DataFrame, cap: int, key_col: str = "doc_id",
+               source_col: str = "source",
+               seed: int = SHUFFLE_SEED) -> DataFrame:
+    """(key, source, src_rank, kept): per-source quota. kept=1 for the
+    ``cap`` lowest-hash docs of each source — filtering on it IS the
+    balanced corpus."""
+    h = F.expr(sql_shuffle_h(key_col, "spark", seed))
+    w = Window.partitionBy(source_col).orderBy("h", key_col)
+    return (
+        docs.select(key_col, source_col, h.alias("h"))
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("kept", (F.col("src_rank") <= cap).cast("int"))
+        .select(key_col, source_col, "src_rank", "kept")
+    )

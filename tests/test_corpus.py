@@ -1,0 +1,113 @@
+"""Corpus-assembly operators: deterministic shuffle, sequence packing,
+per-source quotas — invariants, determinism/stability, and the
+single-shuffle plan claims from the module docstring."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from geotiff_processor_spark.operators import corpus
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> list[str]:
+    return re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning"
+                      r"|Exchange SinglePartition", plan)
+
+
+def test_shuffle_rank_dense_positions_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = corpus.shuffle_rank(docs).collect()
+    assert len(out) == docs.count()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # deterministic across runs (no rand(): md5 of a seeded key)
+    again = corpus.shuffle_rank(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed is a different permutation
+    other = corpus.shuffle_rank(docs, seed=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_pack_sequences_contiguous_token_stream(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    budget = corpus.PACK_BUDGET
+    out = corpus.pack_sequences(docs).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.seq_id * budget + r.seq_offset)
+        # concat-and-split: doc starts tile the stream with no gaps
+        start = 0
+        for r in rows:
+            assert r.seq_id * budget + r.seq_offset == start, (shard, r)
+            assert 0 <= r.seq_offset < budget
+            start += r.n_tokens
+    # pack order == shuffle order (same hash, same tiebreak)
+    pos = {r.doc_id: (r.shard, r.pos)
+           for r in corpus.shuffle_rank(docs.select("doc_id")).collect()}
+    for shard, rows in by_shard.items():
+        order = [r.doc_id for r in rows]
+        assert order == sorted(order, key=lambda d: pos[d][1])
+        assert all(pos[d][0] == shard for d in order)
+
+
+def test_pack_sequences_token_counts_match_whitespace_split(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    got = {r.doc_id: r.n_tokens
+           for r in corpus.pack_sequences(docs).collect()}
+    want = {r.doc_id: r.n
+            for r in docs.select(
+                "doc_id",
+                F.size(F.split("text", " ")).alias("n")).collect()}
+    assert got == want
+
+
+def test_source_cap_quota_and_growth_stability(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    cap = 7
+    out = corpus.source_cap(docs, cap=cap).collect()
+    per_src: dict = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+    sizes = {r.source: 0 for r in out}
+    for r in docs.collect():
+        sizes[r.source] += 1
+    for src, rows in per_src.items():
+        kept = [r for r in rows if r.kept == 1]
+        assert len(kept) == min(cap, sizes[src]), src
+        assert sorted(r.src_rank for r in rows) == \
+            list(range(1, len(rows) + 1))
+    # growth stability: on a sub-corpus, ranks can only shrink, so
+    # every doc kept in the FULL corpus is also kept in the subset
+    sub = docs.filter(F.col("doc_id") % 2 == 0)
+    kept_sub = {r.doc_id for r in
+                corpus.source_cap(sub, cap=cap).collect() if r.kept == 1}
+    kept_full_in_sub = {r.doc_id for r in out
+                        if r.kept == 1 and r.doc_id % 2 == 0}
+    assert kept_full_in_sub <= kept_sub
+
+
+def test_corpus_ops_single_shuffle_plans(spark, sf_dir):
+    """Each op needs exactly ONE hash shuffle (its window partitioning);
+    packing's running sum reuses the shard partitioning rather than
+    adding an exchange."""
+    docs = _docs(spark, sf_dir)
+    for df in (corpus.shuffle_rank(docs.select("doc_id")),
+               corpus.pack_sequences(docs.select("doc_id", "text")),
+               corpus.source_cap(docs.select("doc_id", "source"), cap=30)):
+        plan = _plan(df)
+        assert len(_exchanges(plan)) == 1, plan
+        # the global-sort trap: no rangepartitioning anywhere
+        assert "rangepartitioning" not in plan, plan
