@@ -588,6 +588,10 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
             "probe8": round(max(p8, p8b), 1),
             "probe32": round(max(p32, p32b), 1),
             "mid_good": mid_good,
+            # mid-probe absolutes for diagnosing WHICH gate component
+            # rejected the back-bracket (steal vs ratio vs floor)
+            "mid_probe": [round(mid[0], 4), round(mid[1], 1),
+                          round(mid[2], 1)],
             "post_good": post_good, "clean": clean,
             "n_pages": n_pages,
             "eff_raw": round(pps32_ / pps8 / 4, 3) if pps8 else 0.0}
