@@ -197,19 +197,28 @@ def connected_components(pairs: DataFrame, key_a: str = "key_a",
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), "lbl")
+            .select(F.col("dst").alias("node"), "lbl",
+                    F.lit(0).alias("own"))
         )
+        # the node's own row is tagged so the SAME groupBy that takes
+        # the neighborhood min also recovers the previous label
+        # (exactly one own=1 row per node) — the convergence probe
+        # then reads a changed-flag off the checkpoint instead of
+        # shuffle-joining two checkpoints every round (each probe
+        # barrier pays the cluster's slowest-task tail; measured 5.2s
+        # -> 26s on this bench under host contention)
         new_labels = (
-            labels.select("node", "lbl").union(neigh)
-            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+            labels.select("node", "lbl", F.lit(1).alias("own"))
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"),
+                 F.max(F.when(F.col("own") == 1, F.col("lbl")))
+                 .alias("old_lbl"))
+            .select("node", "lbl",
+                    (F.col("lbl") < F.col("old_lbl")).alias("chg"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("component"))

@@ -299,21 +299,23 @@ def _merge_edges_spark(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .withColumnRenamed("src", "node"))
         stepped = (
             labels.join(nbr_min, ["grp", "node"], "left")
-            .select("grp", "node",
+            .select("grp", "node", F.col("lbl").alias("olbl"),
                     F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
         # pointer jump: lbl <- lbl(lbl)  (labels double as the rep table
-        # because every label value is itself a node key)
+        # because every label value is itself a node key). The round's
+        # previous label rides along as olbl so convergence reads a
+        # changed-flag off the new checkpoint — no extra shuffle join
+        # of two checkpoints per round (labels only ever decrease, so
+        # changed == lbl < olbl)
         reps = stepped.select("grp", F.col("node").alias("lbl"),
                               F.col("lbl").alias("plbl"))
         jumped = (
             stepped.join(reps, ["grp", "lbl"])
-            .select("grp", "node", F.col("plbl").alias("lbl")))
+            .select("grp", "node", F.col("plbl").alias("lbl"),
+                    (F.col("plbl") < F.col("olbl")).alias("chg")))
         new_labels = jumped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), ["grp", "node"])
-            .where(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("grp", "node", "lbl")
         if changed == 0:
             break
     else:
