@@ -160,6 +160,30 @@ def _decode_table(bits: list[int], vals: list[int]
             for sym, (code, ln) in _encode_table(bits, vals).items()}
 
 
+# 16-bit-peek huffman LUTs, memoized on the raw DHT payload: every
+# prefix of a code maps to (symbol, code length) so one table lookup
+# replaces the per-bit tree walk (max baseline code length is 16).
+# Memoization matters because tables arrive per image: a corpus decoded
+# with shared tables (the T.81 K.3 typicals here) builds each LUT once.
+_LUT_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _peek_lut(bits: list[int], vals: list[int]
+              ) -> tuple[np.ndarray, np.ndarray]:
+    key = bytes(bits) + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym_l = np.full(1 << 16, -1, np.int16)
+    len_l = np.zeros(1 << 16, np.uint8)
+    for sym, (code, ln) in _encode_table(bits, vals).items():
+        lo = code << (16 - ln)
+        sym_l[lo:lo + (1 << (16 - ln))] = sym
+        len_l[lo:lo + (1 << (16 - ln))] = ln
+    _LUT_CACHE[key] = (sym_l, len_l)
+    return _LUT_CACHE[key]
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -184,13 +208,20 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Reads the entropy-coded segment, un-stuffing FF00."""
+    """Reads the entropy-coded segment, un-stuffing FF00.
+
+    Word-buffered: bytes accumulate into ``acc`` so a huffman symbol is
+    ONE 16-bit peek + LUT lookup and magnitude bits are one shift, not
+    per-bit loops. Hitting a non-stuffing marker sets ``ended`` —
+    peeks then pad with zero bits (a valid stream never CONSUMES
+    padding; consuming raises, preserving the truncated-stream error)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.ended = False
 
     def _fill(self) -> None:
         b = self.data[self.pos]
@@ -201,32 +232,40 @@ class _BitReader:
             elif 0xD0 <= nxt <= 0xD7:
                 raise ValueError("restart markers not supported")
             else:
-                raise ValueError("hit marker inside entropy data")
+                self.ended = True
+                return
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while self.nbits < n and not self.ended:
+            self._fill()
+        if self.nbits < n:
+            raise ValueError("hit marker inside entropy data")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # trim consumed bits so acc stays a machine-word int (an
+        # unmasked acc grows by 8 bits per byte and every shift then
+        # pays bigint cost proportional to the whole stream read so far)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code in entropy data")
+    def read_symbol(self, lut: tuple[np.ndarray, np.ndarray]) -> int:
+        while self.nbits < 16 and not self.ended:
+            self._fill()
+        if self.nbits >= 16:
+            peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        else:
+            peek = (self.acc << (16 - self.nbits)) & 0xFFFF
+        sym = int(lut[0][peek])
+        ln = int(lut[1][peek])
+        if sym < 0 or ln > self.nbits:
+            raise ValueError("invalid huffman code in entropy data")
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return sym
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -341,7 +380,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     comps: list[tuple[int, int]] = []  # (component id, qtable id)
     h = w = 0
     scan_map: list[tuple[int, int]] = []  # (dc table id, ac table id)
@@ -370,7 +409,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1:b + 17])
                 nv = sum(bits)
                 vals = list(body[b + 17:b + 17 + nv])
-                htables[(cls, tid)] = _decode_table(bits, vals)
+                htables[(cls, tid)] = _peek_lut(bits, vals)
                 b += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             depth, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -406,22 +445,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("non-multiple-of-8 dimensions unsupported")
     reader = _BitReader(data, pos)
     nby, nbx = h // 8, w // 8
-    coefs = np.zeros((nc, nby * nbx, 8, 8), np.float64)
+    # zigzag coefficients accumulate in a flat (nc, nblocks, 64) array
+    # (one python-list write per nonzero coefficient); the de-zigzag is
+    # ONE fancy-index scatter for the whole image, not a 64-iteration
+    # python loop per block
+    zz = np.zeros((nc, nby * nbx, 64), np.int64)
+    tabs = [(htables[(0, dct)], htables[(1, act)],
+             qtables[comps[ci][1]])
+            for ci, (dct, act) in enumerate(scan_map)]
     pred = [0] * nc
+    read_symbol = reader.read_symbol
+    read_bits = reader.read_bits
     for b in range(nby * nbx):
         for ci in range(nc):
-            dct, act = scan_map[ci]
-            dc_tab = htables[(0, dct)]
-            ac_tab = htables[(1, act)]
-            q = qtables[comps[ci][1]]
-            t = reader.read_symbol(dc_tab)
-            diff = _extend(reader.read_bits(t), t)
+            dc_tab, ac_tab, _q = tabs[ci]
+            t = read_symbol(dc_tab)
+            diff = _extend(read_bits(t), t)
             pred[ci] += diff
-            block = np.zeros(64, np.int64)
+            block = [0] * 64
             block[0] = pred[ci]
             k = 1
             while k < 64:
-                rs = reader.read_symbol(ac_tab)
+                rs = read_symbol(ac_tab)
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -431,11 +476,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 s = rs & 0xF
                 if k > 63:
                     raise ValueError("AC index overflow")
-                block[k] = _extend(reader.read_bits(s), s)
+                block[k] = _extend(read_bits(s), s)
                 k += 1
-            deq = block * q
-            for zi, (r, c) in enumerate(ZIGZAG):
-                coefs[ci, b, r, c] = deq[zi]
+            zz[ci, b] = block
+    coefs = np.zeros((nc, nby * nbx, 8, 8), np.float64)
+    zz_r = np.array([r for r, _ in ZIGZAG])
+    zz_c = np.array([c for _, c in ZIGZAG])
+    qs = np.stack([q for _, _, q in tabs])  # (nc, 64) zigzag-order
+    coefs[:, :, zz_r, zz_c] = zz * qs[:, None, :]
     # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
     spatial = np.einsum("ur,nbuv,vc->nbrc", _C, coefs, _C) + 128.0
     samples = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
