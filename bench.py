@@ -286,6 +286,15 @@ def _attempt_pair(pages_path: str):
         lambda: run_flagship_pinned(8, pages_path, n_timed=3,
                                     p32_ref=p32_ref))
     pps8, n_pages, si8, fi8, boost8 = r8
+    # the attempt can never be clean once the 8-side is disqualified
+    # (boosted operating point or contaminated published iteration) —
+    # skip the 32-side and return to the hunt ~90 s sooner. The
+    # decision reads only probe/steal/foreign measurements of the
+    # already-failed side, never the engine's throughput.
+    if boost8 > BOOST_MAX or si8 >= 0.02 or fi8 >= 0.03:
+        raise Dead8Side(
+            f"8-side disqualified: boost8={boost8:.3f} "
+            f"steal_iter={si8:.4f} foreign_iter={fi8:.4f}")
     # mid-attempt probe: the host also throttles SILENTLY (no steal, no
     # visible foreign process — observed: pinned local[8] at 0.57M
     # pages/s, steal_iter 0.2%, foreign 0.2%, post-probe collapsed).
@@ -301,6 +310,10 @@ def _attempt_pair(pages_path: str):
     pps32_, _, si32, fi32, _b = r32
     return (pps8, pps32_, max(st8, st32), max(si8, si32),
             max(fi8, fi32), (sw_mid, p8_mid, p32_mid), n_pages, boost8)
+
+
+class Dead8Side(RuntimeError):
+    """8-side failed its own gates; 32-side skipped (see _attempt_pair)."""
 
 
 # Operating-point guard (round 4). BASELINE.md documents (with a direct
@@ -551,6 +564,9 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
     try:
         (pps8, pps32_, st, st_iter, f_iter, mid,
          n_pages, boost8) = _attempt_pair(pages_path)
+    except Dead8Side as e:
+        return {**base, "skipped": True, "skip_reason": str(e)[:160],
+                "clean": False, "steal": round(sw, 4)}
     except (RuntimeError, json.JSONDecodeError, OSError) as e:
         return {**base, "error": str(e)[:300], "clean": False}
     mid_good = _window_good(mid[0], mid[1], mid[2], steal_clean,
