@@ -40,7 +40,8 @@ HEADLINE = [
     "tpch_join_nation_revenue", "events_window", "reproject_utm",
     "reproject_lcc", "decode_jpeg", "decode_audio", "reproject_ps",
     "repetition_signals", "chunk_tokens", "pii_scrub",
-    "stratified_sample", "dedup_canonical",
+    "stratified_sample", "dedup_canonical", "shuffle_rank",
+    "pack_sequences", "source_cap",
 ]
 
 
