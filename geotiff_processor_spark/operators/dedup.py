@@ -139,8 +139,22 @@ def lsh_candidate_pairs(signatures: DataFrame, key_col: str = "doc_id",
 def jaccard_verify(docs: DataFrame, pairs: DataFrame,
                    key_col: str = "doc_id", text_col: str = "text",
                    threshold: float = 0.7) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only (never all-pairs)."""
-    sh = shingles(docs.select(key_col, text_col), text_col) \
+    """Exact n-gram Jaccard on candidate pairs only (never all-pairs).
+
+    Only docs that appear in a candidate pair are (re-)shingled: LSH
+    candidates are a vanishing fraction of the corpus, so the left-semi
+    prune (broadcast in practice — AQE sizes it) turns what would be a
+    second full-corpus shingle explode into one over the candidate set
+    alone. At 10^12 docs the explode is the dominant cost of the verify
+    stage; everything downstream of the prune is proportional to the
+    candidate count, not the corpus.
+    """
+    keys = (pairs.select(F.col("key_a").alias(key_col))
+            .union(pairs.select(F.col("key_b").alias(key_col)))
+            .distinct())
+    cand_docs = docs.select(key_col, text_col).join(keys, key_col,
+                                                    "leftsemi")
+    sh = shingles(cand_docs, text_col) \
         .select(F.col(key_col).alias("k"), "shingle")
     a = sh.alias("sa").withColumnRenamed("k", "key_a")
     b = sh.alias("sb").withColumnRenamed("k", "key_b")
