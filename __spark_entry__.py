@@ -891,6 +891,27 @@ def q_source_cap(spark, sf_dir):
     return corpus.source_cap(docs, cap=30)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level line dedup (the C4 drop-duplicated-lines rule,
+    generalized to 8-token spans — this corpus has no newlines):
+    keep-first policy, per-doc kept/dropped stats. Span text never
+    shuffles; three digest/key-keyed partial-agg shuffles."""
+    from geotiff_processor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.line_dedup(docs.select("doc_id", "text"))
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus term-frequency top-100 (tokenizer-training vocab scan):
+    one vocabulary-bounded shuffle after map-side partial aggregation,
+    TakeOrderedAndProject for the top-k — never a global sort."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textprep.vocab_topk(docs.select("text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -906,9 +927,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lang_stopwords / union_shards / vendor_dates / salted_cell_counts:
     # round-3-green, code untouched since, and their §2 rows keep other
     # checked representatives — rotated out in round 4 so the five NEW
-    # corpus-assembly operators get driver rows) — sit at the TAIL so
+    # corpus-assembly operators get driver rows; decode_audio /
+    # reproject_ps: third members of families whose rule the prefix
+    # already checks twice — decode_images+decode_jpeg cover the
+    # grouped Arrow decode rule, reproject_utm+reproject_lcc the
+    # native-series CRS rule — rotated out so the NEW line_dedup and
+    # vocab_topk corpus operators get driver rows) — sit at the TAIL so
     # every DISTINCT operator gets a driver-checked row; the tail stays
-    # registered for pytest, bench, manual runs, and the all-67
+    # registered for pytest, bench, manual runs, and the all-69
     # differential artifact (scripts/diffcheck.py -> DIFFCHECK).
     return {
         "pip_count": q_pip_count,
@@ -948,13 +974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm": q_reproject_utm,
         "reproject_lcc": q_reproject_lcc,
         "decode_jpeg": q_decode_jpeg,
-        "decode_audio": q_decode_audio,
+        "line_dedup": q_line_dedup,
         "dedup_canonical": q_dedup_canonical,
         "repetition_signals": q_repetition_signals,
         "chunk_tokens": q_chunk_tokens,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
-        "reproject_ps": q_reproject_ps,
+        "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "shuffle_rank": q_shuffle_rank,
@@ -964,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: beyond the driver's 50-query checked prefix (see the
         # rationale comment above); all stay registered for pytest,
         # bench, manual runs, and the all-62 differential artifact.
+        "decode_audio": q_decode_audio,
+        "reproject_ps": q_reproject_ps,
         "terrarium_encode": q_terrarium_encode,
         "knn_cell_prefix": q_knn_cell_prefix,
         "pip_raycast": q_pip_raycast,
@@ -1515,6 +1543,47 @@ SELECT doc_id,
   round(cast(sum(case when n > 1 then n * gl else 0 end) as double)
         / cast(greatest(sum(n * gl), 1) as double), 6) AS dup_char_frac
 FROM pg GROUP BY doc_id"""
+    sql["line_dedup"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id,
+    cast(st // 8 as bigint) AS span_idx,
+    md5(array_to_string(list_slice(w, st + 1, st + 8), ' ')) AS sh,
+    cast(length(array_to_string(list_slice(w, st + 1, st + 8), ' '))
+      as bigint) AS sl
+  FROM (SELECT doc_id, w,
+          unnest(range(0, greatest(len(w) - 1, 0) + 1, 8)) AS st
+        FROM t)
+),
+s AS (SELECT sh, count(*) AS n_occ, min(doc_id) AS mdoc
+      FROM occ GROUP BY 1),
+fp AS (SELECT o.sh, min(o.span_idx) AS mpos
+       FROM occ o JOIN s ON o.sh = s.sh AND o.doc_id = s.mdoc
+       GROUP BY 1),
+k AS (
+  SELECT o.doc_id, o.sl,
+    CASE WHEN o.doc_id = s.mdoc AND o.span_idx = fp.mpos
+         THEN 1 ELSE 0 END AS keep
+  FROM occ o JOIN s ON o.sh = s.sh JOIN fp ON o.sh = fp.sh
+)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_spans,
+  cast(sum(keep) as bigint) AS n_kept,
+  cast(count(*) - sum(keep) as bigint) AS n_dropped,
+  cast(sum(keep * sl) as bigint) AS kept_chars,
+  round(cast(count(*) - sum(keep) as double)
+        / cast(count(*) as double), 6) AS dup_span_frac
+FROM k GROUP BY doc_id"""
+    sql["vocab_topk"] = """
+WITH c AS (
+  SELECT tok, cast(count(*) as bigint) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1
+),
+top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 100)
+SELECT tok, n,
+  cast(row_number() OVER (ORDER BY n DESC, tok) as bigint) AS rank
+FROM top"""
     sql["chunk_tokens"] = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 s AS (

@@ -291,3 +291,72 @@ def simhash(docs: DataFrame, key_col: str = "doc_id",
             for j in range(bits)).cast("bigint").alias("simhash"),
     )
     return packed
+
+
+SPAN_WIDTH = 8
+
+
+def line_dedup(docs: DataFrame, key_col: str = "doc_id",
+               text_col: str = "text",
+               width: int = SPAN_WIDTH) -> DataFrame:
+    """Corpus-level line deduplication (the C4 rule — Raffel et al.
+    2020 §2.2, public literature: drop every line that occurs more than
+    once in the corpus, keeping one occurrence), generalized to
+    non-overlapping ``width``-token spans because this corpus carries
+    no newlines: span i covers tokens [i*width, (i+1)*width).
+
+    Keep-first policy: a span occurrence survives iff its doc is the
+    lowest ``key_col`` containing that span AND it is the earliest such
+    span inside that doc — deterministic, stable under partitioning,
+    and reproducible in ANSI SQL. Returns per-doc stats
+    (key, n_spans, n_kept, n_dropped, kept_chars, dup_span_frac); the
+    cleaned corpus is a trivial downstream re-assembly of kept spans.
+
+    Scale shape: span text never shuffles — each occurrence reduces to
+    (md5 digest, key, span_idx, span_len) before the exchange. Three
+    digest/key-keyed shuffles, each with map-side partial aggregation:
+    (1) per-digest stats (count + min key via one agg), (2) occurrences
+    re-joined to their digest stats (sort-merge on the digest — both
+    sides hash-partitioned the same way, AQE handles skewed boilerplate
+    digests), (3) the per-doc rollup. At 10^12 docs the digest table is
+    the dedup state; nothing is ever collected to the driver.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(width))
+    spans = docs.select(
+        key_col, F.explode(starts).alias("_s"),
+        F.col(text_col).alias("_t"))
+    occ = spans.select(
+        key_col,
+        (F.col("_s") / width).cast("bigint").alias("span_idx"),
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("_t"), " "),
+                                       F.col("_s") + 1, F.lit(width))))
+        .alias("sh"),
+        F.length(F.concat_ws(" ", F.slice(F.split(F.col("_t"), " "),
+                                          F.col("_s") + 1, F.lit(width))))
+        .cast("bigint").alias("sl"),
+    )
+    stats = occ.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(key_col, "span_idx")).alias("first"),
+    )
+    flagged = occ.join(stats, "sh").withColumn(
+        "keep",
+        ((F.col(key_col) == F.col(f"first.{key_col}"))
+         & (F.col("span_idx") == F.col("first.span_idx"))).cast("int"))
+    return (
+        flagged.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.col("keep") * F.col("sl")).cast("bigint")
+            .alias("kept_chars"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum("keep")).cast("double")
+                / F.count(F.lit(1)).cast("double"), 6)
+            .alias("dup_span_frac"),
+        )
+    )

@@ -269,3 +269,32 @@ def lm_score(docs: DataFrame, key_col: str = "doc_id",
             .alias("logprob_per_token"),
         )
     )
+
+
+VOCAB_K = 100
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text",
+               k: int = VOCAB_K) -> DataFrame:
+    """Corpus term-frequency top-k: (tok, n, rank) for the ``k`` most
+    frequent whitespace tokens, ties broken by token text — the vocab
+    scan every tokenizer-training / corpus-audit pass starts with.
+
+    Scale shape: explode map-side, one shuffle bounded by VOCABULARY
+    size after map-side partial aggregation (word frequencies follow
+    Zipf — the reduce side is dimension-sized no matter the corpus),
+    then Spark's TakeOrderedAndProject for the top-k: per-partition
+    heaps of k rows, never a global sort. The rank window runs on the
+    k-row result, not the corpus.
+    """
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return top.select(
+        "tok", "n",
+        F.row_number().over(w).cast("bigint").alias("rank"))

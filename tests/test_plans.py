@@ -150,3 +150,30 @@ def test_decontaminate_broadcast_gram_join(spark, sf_dir):
     plan = _plan(textprep.decontaminate(docs, docs.limit(50)))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert not re.search(r"Exchange hashpartitioning\(gh", plan), plan
+
+
+def test_line_dedup_span_text_never_shuffles(spark, sf_dir):
+    """Line (span) dedup reduces each occurrence to (digest, key, idx,
+    len) map-side: no exchange input carries the span text or the raw
+    document text — at 100 TB the shuffles move fixed-width rows only."""
+    from geotiff_processor_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = _plan(dd.line_dedup(docs))
+    assert len(_exchanges(plan)) >= 2, plan[:2000]
+    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert " text#" not in ex.group(1)
+        assert " _t#" not in ex.group(1)
+    assert "EvalPython" not in plan
+
+
+def test_vocab_topk_uses_topk_not_global_sort(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never a full Sort over the vocabulary, and the single corpus-scale
+    exchange is the token-count partial agg."""
+    from geotiff_processor_spark.operators import textprep
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text")
+    plan = _plan(textprep.vocab_topk(docs))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "partial_count" in plan or "partial" in plan.lower()

@@ -240,3 +240,52 @@ def test_lm_score_model_broadcast_plan(spark):
     plan = _plan(textprep.lm_score(docs))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert not re.search(r"SortMergeJoin \[tok", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# line (span) dedup — C4 drop-duplicated-lines rule over 8-token spans
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_keep_first_across_docs(spark):
+    span_a = " ".join(f"a{i}" for i in range(8))   # shared span
+    uniq_1 = " ".join(f"u{i}" for i in range(8))
+    uniq_2 = " ".join(f"v{i}" for i in range(8))
+    rows = {r.doc_id: r for r in dedup.line_dedup(_docs(spark, [
+        (1, span_a + " " + uniq_1),
+        (2, span_a + " " + uniq_2),   # dup span -> dropped here
+    ])).collect()}
+    assert rows[1].n_spans == 2 and rows[1].n_kept == 2
+    assert rows[2].n_spans == 2 and rows[2].n_kept == 1
+    assert rows[2].n_dropped == 1
+    assert rows[2].kept_chars == len(uniq_2)
+    assert rows[2].dup_span_frac == 0.5
+
+
+def test_line_dedup_within_doc_keeps_earliest(spark):
+    span = " ".join(f"r{i}" for i in range(8))
+    rows = dedup.line_dedup(
+        _docs(spark, [(7, span + " " + span)])).collect()
+    assert rows[0].n_spans == 2
+    assert rows[0].n_kept == 1        # only the earliest occurrence
+    assert rows[0].kept_chars == len(span)
+
+
+def test_line_dedup_short_doc_one_span(spark):
+    rows = dedup.line_dedup(_docs(spark, [(3, "tiny doc")])).collect()
+    assert rows[0].n_spans == 1 and rows[0].n_kept == 1
+    assert rows[0].kept_chars == len("tiny doc")
+
+
+# ---------------------------------------------------------------------------
+# vocab top-k
+# ---------------------------------------------------------------------------
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    rows = textprep.vocab_topk(
+        _docs(spark, [(1, "b a b c a b")]), k=2).collect()
+    assert [(r.tok, r.n, r.rank) for r in rows] == [("b", 3, 1), ("a", 2, 2)]
+
+
+def test_vocab_topk_tie_broken_by_token(spark):
+    rows = textprep.vocab_topk(_docs(spark, [(1, "z y z y")]), k=2).collect()
+    assert [(r.tok, r.rank) for r in rows] == [("y", 1), ("z", 2)]
