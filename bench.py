@@ -41,7 +41,7 @@ HEADLINE = [
     "reproject_lcc", "decode_jpeg", "decode_audio", "reproject_ps",
     "repetition_signals", "chunk_tokens", "pii_scrub",
     "stratified_sample", "dedup_canonical", "shuffle_rank",
-    "pack_sequences", "source_cap",
+    "pack_sequences", "source_cap", "line_dedup", "vocab_topk",
 ]
 
 

@@ -1,12 +1,21 @@
-"""Custom stateful streaming operator: cumulative per-cell page totals.
+"""Custom stateful streaming operators over keyed state.
 
 The reference keeps an in-memory processed-registry dict across its
 per-file loop (/root/reference/helpers.py:166-183). The streaming-native
-form is keyed state: ``applyInPandasWithState`` holds one running
-(n_pages, n_bytes) record per cell across micro-batches, surviving
-restarts via the checkpoint (north_rule resumability). Output mode
-"update": one row per touched cell per batch with the new cumulative
-totals.
+form is keyed state: ``applyInPandasWithState`` holds one record per
+key across micro-batches, surviving restarts via the checkpoint
+(north_rule resumability).
+
+- ``running_cell_totals``: cumulative (n_pages, n_bytes) per cell,
+  output mode "update" — one row per touched cell per batch.
+- ``streaming_dedup``: dedup-on-ingest — first-seen filter keyed by
+  content digest, output mode "append": a document is emitted exactly
+  once corpus-lifetime, duplicates (same md5(text)) in the same or any
+  later micro-batch are dropped. State is one long per distinct
+  document, sharded across executors by the digest-keyed shuffle the
+  groupBy already does — at 100 TB that state lives in the per-
+  partition state store (RocksDB provider on a real cluster) and no
+  single node ever holds the full registry.
 """
 
 from __future__ import annotations
@@ -59,5 +68,46 @@ def running_cell_totals(pages_stream: DataFrame,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DEDUP_OUTPUT_SCHEMA = StructType([
+    StructField("content_hash", StringType()),
+    StructField("doc_id", LongType()),
+])
+DEDUP_STATE_SCHEMA = StructType([
+    StructField("first_doc", LongType()),
+])
+
+
+def _first_seen(key, pdfs, state: GroupState):
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if state.exists or not ids:
+        return  # digest already emitted in an earlier batch -> all dups
+    keep = min(ids)  # deterministic within-batch winner
+    state.update((keep,))
+    yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [keep]})
+
+
+def streaming_dedup(docs_stream: DataFrame, key_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """First-seen exact dedup over a document stream: emits
+    (content_hash, doc_id) once per distinct md5(text) for the corpus
+    lifetime; every later occurrence is silently dropped. The batch
+    equivalent is dedup.first_wins on md5(text) — the streaming form
+    is what a dedup-on-ingest stage runs so downstream stages never
+    see a duplicate at all."""
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.col(key_col).cast("long").alias("doc_id"),
+    )
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _first_seen,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -66,3 +66,46 @@ def test_stateful_totals_accumulate_across_restarts(spark, sf_dir, tmp_path):
     got2b = {r["cell_pfx"]: r["n_bytes"] for r in out2.collect()}
     for cell, b in got2b.items():
         assert b == expb[cell], cell
+
+
+def _run_dedup_stream(spark, src, ckpt, out):
+    from geotiff_processor_spark.streaming.stateful import streaming_dedup
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_dedup(stream).writeStream
+        .foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_streaming_dedup_first_seen_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    t1 = spark.createDataFrame(
+        [(3, "alpha text"), (1, "alpha text"), (2, "beta text")],
+        "doc_id bigint, text string")
+    t1.write.mode("append").parquet(src)
+    got1 = {r.doc_id for r in _run_dedup_stream(spark, src, ckpt, out)
+            .collect()}
+    # within-batch dup resolved deterministically to the min doc_id
+    assert got1 == {1, 2}
+
+    # tranche 2: one replay of tranche-1 content, one new doc — the
+    # checkpointed digest state must drop the replay in a NEW run
+    t2 = spark.createDataFrame(
+        [(9, "alpha text"), (4, "gamma text")],
+        "doc_id bigint, text string")
+    t2.write.mode("append").parquet(src)
+    got2 = {r.doc_id
+            for r in _run_dedup_stream(spark, src, ckpt, out).collect()}
+    assert 4 in got2 and 9 not in got2
+    assert got2 == {1, 2, 4}
