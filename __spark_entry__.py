@@ -185,6 +185,48 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dup_groups(docs.unionByName(dupes))
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Dedup-on-ingest as a REAL structured stream (2.9 + 2.10 keyed
+    state): a corpus with planted replays (every 5th doc re-keyed
+    +1000000) runs through ``streaming_dedup`` under an AvailableNow
+    trigger; the keyed state emits each distinct md5(text) exactly once
+    with the min within-batch doc_id. The batch-SQL equivalent (the
+    oracle) is first-wins per content hash — the streaming form is what
+    a 100 TB ingest runs so downstream stages never see a duplicate.
+    Reference analog: the processed-registry dict the reference keeps
+    across its per-file loop (/root/reference/helpers.py:166-183)."""
+    import shutil
+    import tempfile
+
+    from geotiff_processor_spark.streaming.stateful import streaming_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    replay = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000))
+    work = tempfile.mkdtemp(prefix="sgraft_sdedup_")
+    src, ckpt, out = f"{work}/src", f"{work}/ckpt", f"{work}/out"
+    # <= 1000 files => one AvailableNow micro-batch, so the within-batch
+    # winner (min doc_id) is deterministic and SQL-expressible
+    docs.unionByName(replay).coalesce(8).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string") \
+        .parquet(src)
+    q = (
+        streaming_dedup(stream).writeStream
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out)
+    # materialize before the temp inputs vanish
+    rows = result.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_text_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cols = T.sql_quality_cols("text", dialect="spark")
@@ -932,10 +974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already checks twice — decode_images+decode_jpeg cover the
     # grouped Arrow decode rule, reproject_utm+reproject_lcc the
     # native-series CRS rule — rotated out so the NEW line_dedup and
-    # vocab_topk corpus operators get driver rows) — sit at the TAIL so
-    # every DISTINCT operator gets a driver-checked row; the tail stays
-    # registered for pytest, bench, manual runs, and the all-69
-    # differential artifact (scripts/diffcheck.py -> DIFFCHECK).
+    # vocab_topk corpus operators get driver rows; dedup_exact: its
+    # md5-group first-wins rule is subsumed by streaming_dedup's oracle,
+    # which additionally drives the keyed-state streaming path — rotated
+    # out so the stateful operator gets the driver row) — sit at the
+    # TAIL so every DISTINCT operator gets a driver-checked row; the
+    # tail stays registered for pytest, bench, manual runs, and the
+    # all-70 differential artifact (scripts/diffcheck.py -> DIFFCHECK).
     return {
         "pip_count": q_pip_count,
         "cell_encode": q_cell_encode,
@@ -945,7 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_l8": q_pyramid_l8,
         "mapbox_encode": q_mapbox_encode,
         "percentile_breaks": q_percentile_breaks,
-        "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
         "text_quality": q_text_quality,
         "registro_first_wins": q_registro_first_wins,
         "hourly_ingest": q_hourly_ingest,
@@ -990,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: beyond the driver's 50-query checked prefix (see the
         # rationale comment above); all stay registered for pytest,
         # bench, manual runs, and the all-62 differential artifact.
+        "dedup_exact": q_dedup_exact,
         "decode_audio": q_decode_audio,
         "reproject_ps": q_reproject_ps,
         "terrarium_encode": q_terrarium_encode,
@@ -1123,6 +1169,16 @@ FROM rv GROUP BY 1, 2, 3"""
         " SELECT md5(text) AS dup_key, count(*) AS n_docs,"
         " min(doc_id) AS keeper FROM corpus"
         " GROUP BY 1 HAVING count(*) > 1"
+    )
+    # streaming first-seen dedup == batch first-wins per content hash
+    # (single AvailableNow micro-batch => winner is the global min)
+    sql["streaming_dedup"] = (
+        "WITH corpus AS ("
+        " SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+        "   WHERE doc_id % 5 = 0)"
+        " SELECT md5(text) AS content_hash, min(doc_id) AS doc_id"
+        " FROM corpus GROUP BY 1"
     )
     sql["text_quality"] = (
         "SELECT doc_id, "
