@@ -575,6 +575,47 @@ def np_ps_inverse(x: np.ndarray, y: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Spherical (Web) Mercator inverse — EPSG:3857, the reference's primary
+# TARGET CRS (/root/reference/export_formats/geoserverDEM.py:34-38);
+# the inverse makes 3857-gridded sources ingestable natively. Same
+# sphere radius as functions/geo.py's forward (EARTH_RADIUS_M).
+# ---------------------------------------------------------------------------
+
+R_MERC = 6378137.0  # WGS84 / EPSG:3857 sphere radius
+
+
+def sql_merc_lon(x: str) -> str:
+    """Longitude, degrees: x / R, rad->deg inlined as one double."""
+    return f"({x} / {_d(R_MERC)} * {_d(RAD2DEG)})"
+
+
+def sql_merc_lat(y: str) -> str:
+    """Latitude, degrees: (2*atan(exp(y/R)) - pi/2) in doubles."""
+    return (f"((2 * atan(exp({y} / {_d(R_MERC)})) - {_d(HALF_PI)})"
+            f" * {_d(RAD2DEG)})")
+
+
+def reproject_merc(df: DataFrame, x: str = "x_merc", y: str = "y_merc",
+                   round_digits: int = 6) -> DataFrame:
+    """Append lon/lat (degrees, rounded) to a DataFrame of EPSG:3857
+    coords — native expressions only (whole-stage codegen)."""
+    return (
+        df.withColumn(
+            "lon", F.expr(f"round({sql_merc_lon(x)}, {round_digits})"))
+        .withColumn(
+            "lat", F.expr(f"round({sql_merc_lat(y)}, {round_digits})"))
+    )
+
+
+def np_merc_forward(lon: np.ndarray, lat: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Forward spherical mercator (numpy, test-side round-trip truth)."""
+    lam = lon.astype(np.float64) / RAD2DEG
+    phi = lat.astype(np.float64) / RAD2DEG
+    return R_MERC * lam, R_MERC * np.log(np.tan(HALF_PI / 2.0 + phi / 2.0))
+
+
+# ---------------------------------------------------------------------------
 # EPSG dispatch — the reference's accept-any-code surface
 # (/root/reference/helpers.py:45-48 feeds any EPSG into
 # osr.SpatialReference). Known families route to the closed-form native
@@ -584,6 +625,16 @@ def np_ps_inverse(x: np.ndarray, y: np.ndarray,
 # is absent rather than silently mis-projecting.
 # ---------------------------------------------------------------------------
 
+# Published parameter sets for common Lambert-conformal-conic CRSs
+# (EPSG registry values; both sit on GRS80 — see reproject_epsg note).
+LCC_EPSG = {
+    2154: {"lat1": 49.0, "lat2": 44.0, "lat0": 46.5, "lon0": 3.0,
+           "fe": 700000.0, "fn": 6600000.0},   # RGF93 / Lambert-93
+    3978: {"lat1": 49.0, "lat2": 77.0, "lat0": 49.0, "lon0": -95.0,
+           "fe": 0.0, "fn": 0.0},              # NAD83 / Canada Atlas
+}
+
+
 def reproject_epsg(df: DataFrame, epsg: int, x: str, y: str,
                    round_digits: int = 6) -> DataFrame:
     """Append lon/lat for source coordinates in the given EPSG CRS.
@@ -592,9 +643,20 @@ def reproject_epsg(df: DataFrame, epsg: int, x: str, y: str,
       - 32601-32660: WGS84 / UTM zone N (north)
       - 32701-32760: WGS84 / UTM zone N (south)
       - 3031: WGS84 / Antarctic Polar Stereographic (lat_ts -71, lon0 0)
+      - 3857: spherical (Web) Mercator — the reference's target CRS
+      - LCC_EPSG registry (2154 Lambert-93, 3978 Canada Atlas): Lambert
+        conformal conic with published parameters. These CRSs sit on
+        GRS80; the series here uses WGS84 flattening — the ellipsoids
+        differ by ~1e-9 in 1/f (sub-0.1 mm on the ground), far inside
+        the round_digits=6 (~0.1 m) output quantum.
       - 4326: passthrough (source already lon/lat)
     Anything else: pyproj Arrow UDF (``make_pyproj_inverse_pandas_udf``).
     """
+    if epsg in LCC_EPSG:
+        return reproject_lcc(df, x, y, round_digits=round_digits,
+                             **LCC_EPSG[epsg])
+    if epsg == 3857:
+        return reproject_merc(df, x, y, round_digits=round_digits)
     if 32601 <= epsg <= 32660:
         return reproject_utm(df, x, y, zone=epsg - 32600, south=False,
                              round_digits=round_digits)

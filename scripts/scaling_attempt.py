@@ -41,6 +41,18 @@ def main() -> int:
         bench.materialize_pages(s, sf_dir, repl, pages_path)
         s.stop()
 
+    # closes the race where the hunt's marker check passed an instant
+    # before a bench run (driver's or builder's) marked itself busy:
+    # never START an attempt while any builder/bench marker is live
+    busy_dir = "/tmp/builder_busy.d"
+    if os.path.exists("/tmp/builder_busy") or (
+            os.path.isdir(busy_dir) and any(
+                os.path.exists(f"/proc/{m}")
+                for m in os.listdir(busy_dir))):
+        print(json.dumps({"skipped": True,
+                          "skip_reason": "builder busy marker live"}))
+        return 3
+
     entry = bench.run_single_attempt(pages_path, window_budget_s=budget,
                                      skip_if_bad=True)
     entry["source"] = "scaling_attempt"

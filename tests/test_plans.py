@@ -177,3 +177,33 @@ def test_vocab_topk_uses_topk_not_global_sort(spark, sf_dir):
     plan = _plan(textprep.vocab_topk(docs))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """The 100 TB co-located-join recipe: bucketBy both sides on the
+    join key and the sort-merge join plans with ZERO exchanges — the
+    corpus joins bucket-to-bucket with no network movement. This is the
+    engine's substitute for the reference's single-process in-memory
+    joins, and the pattern the docs prescribe for repeated doc-keyed
+    joins (signatures, scores, metadata) over the same corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    meta = docs.select("doc_id", F.length("text").alias("n_chars"))
+    for name, df in (("b_docs", docs), ("b_meta", meta)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(tmp_path / name))
+         .mode("overwrite").format("parquet").saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_docs").join(spark.table("b_meta"), "doc_id") \
+            .select("doc_id", "n_chars")
+        plan = _plan(j)
+        assert len(_exchanges(plan)) == 0, plan[:2000]
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("b_docs", "b_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

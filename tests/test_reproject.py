@@ -324,4 +324,43 @@ def test_epsg_dispatch_unknown_without_pyproj(spark):
     src = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="pyproj"):
-        R.reproject_epsg(src, 2154, "x", "y")  # RGF93 / Lambert-93
+        # British National Grid: transverse Mercator on the AIRY
+        # ellipsoid — genuinely outside the WGS84-series native families
+        R.reproject_epsg(src, 27700, "x", "y")
+
+
+def test_epsg_dispatch_3857_roundtrip(spark):
+    """Native Web-Mercator inverse: forward (numpy) -> inverse (SQL
+    exprs) round-trips to the source lon/lat at the output quantum."""
+    lon = np.linspace(-179.0, 179.0, 400)
+    lat = np.linspace(-84.0, 84.0, 400)
+    mx, my = R.np_merc_forward(lon, lat)
+    src = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in
+         enumerate(zip(mx, my))],
+        "i long, x_merc double, y_merc double")
+    out = R.reproject_epsg(src, 3857, "x_merc", "y_merc") \
+        .orderBy("i").collect()
+    got_lon = np.array([r.lon for r in out])
+    got_lat = np.array([r.lat for r in out])
+    assert np.abs(got_lon - np.round(lon, 6)).max() <= 1e-6
+    assert np.abs(got_lat - np.round(lat, 6)).max() <= 2e-6
+
+
+def test_epsg_dispatch_lcc_registry(spark):
+    """EPSG:2154 (Lambert-93) routes to the native LCC family with the
+    published parameters; the SQL path matches the numpy mirror."""
+    p = R.LCC_EPSG[2154]
+    # forward-project a grid of France-ish lon/lat into Lambert-93
+    lon = np.linspace(-4.5, 8.0, 300)
+    lat = np.linspace(42.5, 50.8, 300)
+    x, y = R.np_lcc_forward(lon, lat, **p)
+    src = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in
+         enumerate(zip(x, y))],
+        "i long, x double, y double")
+    out = R.reproject_epsg(src, 2154, "x", "y").orderBy("i").collect()
+    got_lon = np.array([r.lon for r in out])
+    got_lat = np.array([r.lat for r in out])
+    assert np.abs(got_lon - np.round(lon, 6)).max() <= 2e-6
+    assert np.abs(got_lat - np.round(lat, 6)).max() <= 2e-6
