@@ -778,6 +778,25 @@ def q_reproject_ps(spark, sf_dir):
     return R.reproject_ps(src, "x_ps", "y_ps")
 
 
+def q_reproject_merc(spark, sf_dir):
+    """Arbitrary-CRS ingest, fourth family: spherical (Web) Mercator —
+    EPSG:3857, the reference's own warp TARGET
+    (export_formats/geoserverDEM.py:34-38) — metres -> lon/lat via the
+    two-expression closed-form inverse. Native expressions only; routed
+    through the reproject_epsg dispatcher to pin the 3857 branch."""
+    import os
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = events.select(F.col("event_id").alias("i")).select(
+        F.expr(synth.SQL_URL).alias("url"),
+        F.expr(f"cast({R.SQL_MERC_X} as bigint)").alias("x_merc"),
+        F.expr(f"cast({R.SQL_MERC_Y} as bigint)").alias("y_merc"),
+    )
+    return R.reproject_epsg(src, 3857, "x_merc", "y_merc")
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style n-gram repetition quality signals per document —
     two-phase aggregation shuffling digests, never gram text."""
@@ -1038,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "decode_audio": q_decode_audio,
         "reproject_ps": q_reproject_ps,
+        "reproject_merc": q_reproject_merc,
         "terrarium_encode": q_terrarium_encode,
         "knn_cell_prefix": q_knn_cell_prefix,
         "pip_raycast": q_pip_raycast,
@@ -1571,6 +1591,16 @@ s0 AS (
 ),
 {R.ps_inverse_cte('s0', ['url'])}
 SELECT url, x_ps, y_ps, lon, lat FROM ps_ll"""
+
+    sql["reproject_merc"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
+m0 AS (
+  SELECT {synth.SQL_URL} AS url,
+    cast({R.SQL_MERC_X} as bigint) AS x_merc,
+    cast({R.SQL_MERC_Y} as bigint) AS y_merc
+  FROM p0
+),
+{R.merc_inverse_cte('m0', ['url'])}
+SELECT url, x_merc, y_merc, lon, lat FROM merc_ll"""
 
     from geotiff_processor_spark.operators.textprep import (
         EMAIL_RE,

@@ -607,6 +607,27 @@ def reproject_merc(df: DataFrame, x: str = "x_merc", y: str = "y_merc",
     )
 
 
+def merc_inverse_cte(src: str, id_cols: list[str],
+                     x: str = "x_merc", y: str = "y_merc",
+                     round_digits: int = 6) -> str:
+    """CTE ``merc_ll``: EPSG:3857 metres -> lon/lat degrees. Identical
+    text runs in Spark SQL and DuckDB (same rationale as
+    utm_inverse_cte)."""
+    ids = ", ".join(id_cols)
+    return f"""merc_ll AS (
+  SELECT {ids}, {x}, {y},
+    round({sql_merc_lon(x)}, {round_digits}) AS lon,
+    round({sql_merc_lat(y)}, {round_digits}) AS lat
+  FROM {src}
+)"""
+
+
+# deterministic 3857-coordinate synthesis from an integer id `i`
+# (x inside the legal +-20037508 m; y bounded to ~+-85 deg latitude)
+SQL_MERC_X = "((i * 7919 + 11) % 40000000 - 20000000)"
+SQL_MERC_Y = "((i * 104729 + 23) % 36000000 - 18000000)"
+
+
 def np_merc_forward(lon: np.ndarray, lat: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray]:
     """Forward spherical mercator (numpy, test-side round-trip truth)."""
