@@ -952,6 +952,17 @@ def q_source_cap(spark, sf_dir):
     return corpus.source_cap(docs, cap=30)
 
 
+def q_source_mix_weights(spark, sf_dir):
+    """Temperature-based data-mixture weighting (weight ∝ tokens^0.3,
+    the standard upsample-the-tail mixing rule) + implied per-source
+    epochs: one source-keyed partial-agg shuffle, one 1-row broadcast."""
+    from geotiff_processor_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("source", "text")
+    return corpus.source_mix_weights(docs)
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level line dedup (the C4 drop-duplicated-lines rule,
     generalized to 8-token spans — this corpus has no newlines):
@@ -1075,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_shards": q_union_shards,
         "vendor_dates": q_vendor_dates,
         "salted_cell_counts": q_salted_cell_counts,
+        "source_mix_weights": q_source_mix_weights,
     }
 
 
@@ -1834,6 +1846,23 @@ SELECT doc_id, source,
                                     ORDER BY h, doc_id) <= 30
        then 1 else 0 end as int) AS kept
 FROM h"""
+
+    from geotiff_processor_spark.operators.corpus import MIX_ALPHA
+    _ntok = T.sql_token_count("text", "duckdb")
+    sql["source_mix_weights"] = f"""
+WITH per AS (
+  SELECT source, cast(count(*) as bigint) AS n_docs,
+         cast(sum({_ntok}) as bigint) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT *, power(cast(n_tokens as double),
+                  cast({MIX_ALPHA!r} as double)) AS w_raw FROM per
+), t AS (SELECT sum(w_raw) AS z, sum(n_tokens) AS tok_total FROM w)
+SELECT source, n_docs, n_tokens,
+  round(w_raw / z, 6) AS weight,
+  round(w_raw / z * cast(tok_total as double)
+        / cast(n_tokens as double), 6) AS epochs
+FROM w, t"""
 
     from geotiff_processor_spark.functions import jpeg as Jp
     _r, _g, _b = Jp.sql_ycbcr_to_rgb("yv", "cbv", "crv")

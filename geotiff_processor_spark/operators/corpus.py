@@ -119,3 +119,54 @@ def source_cap(docs: DataFrame, cap: int, key_col: str = "doc_id",
         .withColumn("kept", (F.col("src_rank") <= cap).cast("int"))
         .select(key_col, source_col, "src_rank", "kept")
     )
+
+
+MIX_ALPHA = 0.3
+
+
+def source_mix_weights(docs: DataFrame, alpha: float = MIX_ALPHA,
+                       source_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_tokens, weight, epochs): temperature-based
+    data-mixture weighting — sampling weight for source l is
+    n_tokens_l^alpha renormalized (alpha<1 upsamples small/rare
+    sources, the standard multilingual/multi-source mixing rule; with
+    alpha=1 the mix is proportional, with alpha=0 uniform).
+
+    ``epochs`` = weight * total_tokens / n_tokens_l is how many passes
+    over source l one epoch of the MIXED corpus implies — the quantity
+    a pipeline checks against its repetition budget.
+
+    Plan: one source-keyed partial-agg shuffle over fixed-width rows
+    (token counting is map-side), then a single-row total broadcast
+    back — source cardinality is tiny next to the corpus, so at 100 TB
+    this is one cheap shuffle + one broadcast, no global sort.
+    """
+    from geotiff_processor_spark.functions.text import sql_token_count
+
+    per = (
+        docs.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr(sql_token_count(text_col, "spark")))
+            .cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "w_raw",
+            F.expr(f"power(cast(n_tokens as double), "
+                   f"cast({alpha!r} as double))"))
+    )
+    tot = per.agg(F.sum("w_raw").alias("z"),
+                  F.sum("n_tokens").alias("tok_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+            F.round(F.col("w_raw") / F.col("z")
+                    * F.col("tok_total").cast("double")
+                    / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+        )
+    )

@@ -111,3 +111,35 @@ def test_corpus_ops_single_shuffle_plans(spark, sf_dir):
         assert len(_exchanges(plan)) == 1, plan
         # the global-sort trap: no rangepartitioning anywhere
         assert "rangepartitioning" not in plan, plan
+
+
+def test_source_mix_weights_invariants(spark, sf_dir):
+    """Weights form a distribution; alpha=1 is proportional mixing;
+    alpha=0 is uniform; alpha<1 upsamples the smallest source (its
+    epochs exceed the largest source's)."""
+    docs = _docs(spark, sf_dir).select("source", "text")
+    rows = corpus.source_mix_weights(docs).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    small = min(rows, key=lambda r: r.n_tokens)
+    big = max(rows, key=lambda r: r.n_tokens)
+    assert small.epochs > big.epochs
+    # alpha=1: weight == n_tokens / total (proportional), epochs == 1
+    tot = sum(r.n_tokens for r in rows)
+    for r in corpus.source_mix_weights(docs, alpha=1.0).collect():
+        n = next(x.n_tokens for x in rows if x.source == r.source)
+        assert abs(r.weight - n / tot) < 1e-5
+        assert abs(r.epochs - 1.0) < 1e-5
+    # alpha=0: uniform over sources
+    uni = corpus.source_mix_weights(docs, alpha=0.0).collect()
+    for r in uni:
+        assert abs(r.weight - 1.0 / len(uni)) < 1e-5
+
+
+def test_source_mix_weights_single_shuffle_plus_broadcast(spark, sf_dir):
+    """One source-keyed exchange (plus the 1-row total's single
+    partition) — token counting stays map-side; no global sort."""
+    docs = _docs(spark, sf_dir).select("source", "text")
+    plan = _plan(corpus.source_mix_weights(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Sort " not in plan.replace("SortAggregate", "")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
