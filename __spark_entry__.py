@@ -1010,7 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out so the stateful operator gets the driver row) — sit at the
     # TAIL so every DISTINCT operator gets a driver-checked row; the
     # tail stays registered for pytest, bench, manual runs, and the
-    # all-70 differential artifact (scripts/diffcheck.py -> DIFFCHECK).
+    # all-72 differential artifact (scripts/diffcheck.py -> DIFFCHECK).
     return {
         "pip_count": q_pip_count,
         "cell_encode": q_cell_encode,
@@ -1064,7 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # --- tail: beyond the driver's 50-query checked prefix (see the
         # rationale comment above); all stay registered for pytest,
-        # bench, manual runs, and the all-62 differential artifact.
+        # bench, manual runs, and the all-72 differential artifact.
         "dedup_exact": q_dedup_exact,
         "decode_audio": q_decode_audio,
         "reproject_ps": q_reproject_ps,
