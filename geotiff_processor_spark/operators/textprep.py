@@ -234,7 +234,8 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
 
 
 def lm_score(docs: DataFrame, key_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             broadcast_model: bool = True) -> DataFrame:
     """Unigram language-model quality score per document (the LM-filter
     stage of CCNet, Wenzek et al. 2020 — public literature — with a
     unigram model in place of a trained KenLM): per doc,
@@ -251,6 +252,14 @@ def lm_score(docs: DataFrame, key_col: str = "doc_id",
     carrying (key, count, double). Unseen tokens (external-model use)
     fall back to a 0.5 pseudo-count. Sums are rounded to 6 decimals so
     the score is reproducible across engines and summation orders.
+
+    ``broadcast_model``: a CURATED natural-language vocab is
+    dimension-sized, but the raw token vocabulary of web text is NOT
+    bounded (URLs, typos, hashes make the tail grow with the corpus) —
+    at 100 TB either pre-prune the model to a curated vocab before
+    broadcasting, or pass ``broadcast_model=False`` to use a plain
+    token-keyed shuffle join (AQE sizes it; results identical — the
+    flag changes only the physical join).
     """
     toks = docs.select(
         key_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
@@ -259,7 +268,8 @@ def lm_score(docs: DataFrame, key_col: str = "doc_id",
     lp = F.log(F.coalesce(F.col("df").cast("double"), F.lit(0.5))
                / F.col("n_total"))
     return (
-        toks.join(F.broadcast(model), "tok", "left")
+        toks.join(F.broadcast(model) if broadcast_model else model,
+                  "tok", "left")
         .crossJoin(F.broadcast(total))
         .groupBy(key_col)
         .agg(

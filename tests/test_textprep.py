@@ -242,6 +242,18 @@ def test_lm_score_model_broadcast_plan(spark):
     assert not re.search(r"SortMergeJoin \[tok", plan), plan
 
 
+def test_lm_score_shuffle_join_mode_identical(spark):
+    # broadcast_model=False (the unbounded-web-vocab scale path) is a
+    # physical-plan switch only: identical scores either way
+    docs = _docs(spark, [(i, f"w{i % 7} w{i % 3} w{i % 11}")
+                         for i in range(40)])
+    a = {r.doc_id: (r.n_tokens, r.logprob_sum, r.logprob_per_token)
+         for r in textprep.lm_score(docs).collect()}
+    b = {r.doc_id: (r.n_tokens, r.logprob_sum, r.logprob_per_token)
+         for r in textprep.lm_score(docs, broadcast_model=False).collect()}
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # line (span) dedup — C4 drop-duplicated-lines rule over 8-token spans
 # ---------------------------------------------------------------------------
