@@ -111,3 +111,86 @@ def streaming_dedup(docs_stream: DataFrame, key_col: str = "doc_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TTL_HOURS = 1
+DEDUP_TTL_STATE_SCHEMA = StructType([
+    StructField("first_doc", LongType()),
+    StructField("last_ts_us", LongType()),
+])
+
+
+def _make_first_seen_ttl(ttl_us: int):
+    def _first_seen_ttl(key, pdfs, state: GroupState):
+        # watermark passed last_seen + ttl with no new sighting:
+        # drop the registry entry — THIS bounds state at corpus scale
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+            # normalize to ns first: pandas may hand datetime64[us]
+            ts_us.extend(
+                int(v) // 1000
+                for v in pd.to_datetime(pdf["ts"])
+                .astype("datetime64[ns]").astype("int64"))
+        if not ids:
+            return
+        lo_ts, hi_ts = min(ts_us), max(ts_us)
+        emit = None
+        if state.exists:
+            first_doc, last_ts = state.get
+            if lo_ts - last_ts > ttl_us:
+                # content reappears AFTER the horizon: a fresh epoch —
+                # re-emit (dedup only promises uniqueness within TTL)
+                emit = min(ids)
+                state.update((emit, max(hi_ts, last_ts)))
+            else:
+                state.update((first_doc, max(hi_ts, last_ts)))
+        else:
+            emit = min(ids)
+            state.update((emit, hi_ts))
+        # expire at last sighting + ttl (sliding horizon); clamp above
+        # the current watermark as the API requires
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(hi_ts // 1000 + ttl_us // 1000,
+                                      wm_ms + 1))
+        if emit is not None:
+            yield pd.DataFrame({"content_hash": [key[0]],
+                                "doc_id": [emit]})
+    return _first_seen_ttl
+
+
+def streaming_dedup_ttl(docs_stream: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", ts_col: str = "ts",
+                        ttl_hours: int = TTL_HOURS,
+                        watermark_delay: str = "10 minutes") -> DataFrame:
+    """First-seen dedup with an EVENT-TIME horizon: a document is
+    emitted once per distinct md5(text) per ``ttl_hours`` window since
+    its last sighting; registry entries whose horizon the watermark has
+    passed are dropped by the state timeout. Unlike ``streaming_dedup``
+    (corpus-lifetime uniqueness, state grows with distinct content),
+    the TTL form bounds state to content seen within the horizon — the
+    shape an UNBOUNDED 100 TB/day ingest must run, trading global
+    uniqueness for a dedup horizon exactly like production CDC dedup.
+    Reference analog: the per-run processed-registry dict
+    (/root/reference/helpers.py:166-183), which is equally scoped to a
+    bounded window (one run), not corpus lifetime."""
+    ttl_us = ttl_hours * 3_600_000_000
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.col(key_col).cast("long").alias("doc_id"),
+        # watermarks require TIMESTAMP (tz); an NTZ source casts via the
+        # session zone — a uniform shift, and the TTL rule only compares
+        # differences, so the horizon is zone-independent
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    ).withWatermark("ts", watermark_delay)
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _make_first_seen_ttl(ttl_us),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
