@@ -42,6 +42,7 @@ HEADLINE = [
     "repetition_signals", "chunk_tokens", "pii_scrub",
     "stratified_sample", "dedup_canonical", "shuffle_rank",
     "pack_sequences", "source_cap", "line_dedup", "vocab_topk",
+    "decode_video", "substr_dedup",
 ]
 
 

@@ -296,6 +296,82 @@ def simhash(docs: DataFrame, key_col: str = "doc_id",
 SPAN_WIDTH = 8
 
 
+def exact_substr_dedup(docs: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text",
+                       k: int = 8) -> DataFrame:
+    """Exact-substring duplication signals (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public literature): a token position is duplicated when the
+    OVERLAPPING k-token gram starting there also occurs in another
+    document. The paper builds a corpus-wide suffix array; the
+    distributed re-grounding is rolling k-gram digests — every
+    cross-doc repeated substring of >= k tokens is a run of >= 1
+    duplicated k-grams, so per-doc duplicated-gram fraction is the
+    trim signal without any global sorted structure. Overlapping grams
+    distinguish this from ``line_dedup``'s non-overlapping C4 spans.
+    Default k=8 at test scale; the paper's operating point (50 BPE
+    tokens) is the production default a caller would pass.
+
+    Returns (key, n_grams, dup_grams, dup_frac) per doc.
+
+    Scale shape: gram text never shuffles — each position reduces to a
+    16-byte md5 before the exchange. Three shuffles, all with map-side
+    partial aggregation: (1) per-(digest, doc) occurrence counts —
+    this also bounds boilerplate skew: a gram repeated 10^6 times
+    inside one doc is ONE row after the partial agg; (2) per-digest
+    distinct-doc counts (already (digest, doc)-deduped, so a plain
+    count); (3) occurrences sort-merge-joined back to their digest's
+    doc count (both sides hash-partitioned on the digest, AQE splits
+    skewed web-boilerplate digests) and rolled up per doc. At 10^12
+    docs nothing collects to the driver and no suffix array exists.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs must yield
+    # an empty start list, not positions [1, 0]
+    starts = F.when(
+        F.size(toks) >= k,
+        F.sequence(F.lit(1), F.size(toks) - k + 1),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = docs.select(
+        key_col,
+        F.explode(
+            F.transform(starts, lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, k))))).alias("gh"))
+    occ = grams.groupBy(key_col, "gh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"))
+    docs_per_gram = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per_doc = (
+        occ.join(docs_per_gram, "gh")
+        .groupBy(key_col)
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("n_pos"))
+                  .otherwise(F.lit(0))).cast("bigint").alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_grams").cast("double")
+                    / F.col("n_grams").cast("double"), 6))
+    )
+    # docs shorter than k tokens produce no grams at all: restore them
+    # with zero counts so the output is total over the corpus
+    base = docs.select(
+        key_col,
+        F.greatest(F.size(toks) - k + 1, F.lit(0))
+        .cast("bigint").alias("_n"))
+    return (
+        base.join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0).cast("bigint"))
+            .alias("dup_grams"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+        )
+    )
+
+
 def line_dedup(docs: DataFrame, key_col: str = "doc_id",
                text_col: str = "text",
                width: int = SPAN_WIDTH) -> DataFrame:

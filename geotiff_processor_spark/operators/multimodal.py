@@ -156,6 +156,51 @@ def decode_audio(df: DataFrame, payload_col: str = "wav",
     return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
 
 
+def decode_video(df: DataFrame, payload_col: str = "y4m",
+                 key_col: str = "url", every: int = 2) -> DataFrame:
+    """Batch video decode + frame sampling via mapInPandas: REAL
+    YUV4MPEG2 parse (functions/y4m.py) -> one row per SAMPLED frame
+    (every ``every``-th) with per-plane means — the decode +
+    frame-sample + feature-extract stage of a multimodal training
+    pipeline, now on real bytes end to end (this replaces the fake
+    fingerprint path for video payloads; reference analog: the
+    reference's media work all shells to external tools,
+    /root/reference/export_formats/previews.py:24-39).
+
+    1:N UDTF-shaped like ``frame_sample``; Y4M is lossless, so planted
+    integer-formula payloads are hash-checkable against a SQL oracle.
+    Scale: map-side only, payloads never shuffle; sampling inside the
+    kernel means unsampled frames are decoded but never emitted (a
+    frame-seeking decoder would skip them; Y4M's fixed frame size
+    makes the skip trivial, kept simple here)."""
+    schema = (f"{key_col} string, frame_idx int, n_frames int,"
+              " width int, height int, fps_num int,"
+              " mean_y double, mean_u double, mean_v double")
+
+    def decode(batches):
+        from ..functions.y4m import decode_y4m
+        for pdf in batches:
+            rows = {k: [] for k in (key_col, "frame_idx", "n_frames",
+                                    "width", "height", "fps_num",
+                                    "mean_y", "mean_u", "mean_v")}
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                w, h, fps, frames = decode_y4m(bytes(payload))
+                means = frames.astype(np.float64).mean(axis=(1, 2))
+                for fi in range(0, frames.shape[0], every):
+                    rows[key_col].append(key)
+                    rows["frame_idx"].append(fi)
+                    rows["n_frames"].append(frames.shape[0])
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["fps_num"].append(fps[0])
+                    rows["mean_y"].append(float(means[fi, 0]))
+                    rows["mean_u"].append(float(means[fi, 1]))
+                    rows["mean_v"].append(float(means[fi, 2]))
+            yield pd.DataFrame(rows)
+
+    return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
+
+
 def thumbnail_stats(df: DataFrame, payload_col: str = "html",
                     key_col: str = "url", src: int = 16,
                     thumb: int = 4) -> DataFrame:

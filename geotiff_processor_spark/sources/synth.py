@@ -526,6 +526,65 @@ def build_media_wav_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage_media(spark, sf_dir, "media_wav", build_media_wav)
 
 
+# ---------------------------------------------------------------------------
+# Y4M media table: REAL YUV4MPEG2 C444 video payloads (functions/y4m codec)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 6
+VIDEO_SIZE = 8
+VIDEO_FPS = 25
+
+# pixel formula: v(i, f, y, x, p) = (i*19 + f*23 + y*5 + x*3 + p*29) % 251
+# — uint8-ranged, exact through the lossless planar round trip, and
+# SQL-recomputable (the oracle derives per-plane frame means from it)
+VIDEO_COEFS = (19, 23, 5, 3, 29)
+
+
+def sql_video_plane_px() -> str:
+    """Pixel value as SQL over (i, f, y, x, p)."""
+    a, b, c, d, e = VIDEO_COEFS
+    return f"((i*{a} + f*{b} + y*{c} + x*{d} + p*{e}) % 251)"
+
+
+def build_media_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, y4m) — y4m is a REAL C444 YUV4MPEG2 payload whose pixels
+    derive from the event id with integer arithmetic (lossless codec =>
+    bit-exact oracle check of the full parse + frame sampling +
+    feature extraction)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.y4m import encode_y4m
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = events.select(F.col("event_id").alias("i"),
+                         F.expr(SQL_URL).alias("url"))
+    a, b, c, d, e = VIDEO_COEFS
+    n, s = VIDEO_FRAMES, VIDEO_SIZE
+
+    def gen(batches):
+        f = np.arange(n, dtype=np.int64)[:, None, None, None]
+        y = np.arange(s, dtype=np.int64)[None, :, None, None]
+        x = np.arange(s, dtype=np.int64)[None, None, :, None]
+        p = np.arange(3, dtype=np.int64)[None, None, None, :]
+        grid = f * b + y * c + x * d + p * e
+        for pdf in batches:
+            payloads = []
+            for i in pdf["i"].to_numpy(np.int64):
+                v = ((int(i) * a + grid) % 251).astype(np.uint8)
+                payloads.append(encode_y4m(v, (VIDEO_FPS, 1)))
+            yield pd.DataFrame({"url": pdf["url"], "y4m": payloads})
+
+    return base.mapInPandas(gen, "url string, y4m binary")
+
+
+def build_media_y4m_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_media_y4m materialized once per sf_dir."""
+    return _stage_media(spark, sf_dir, "media_y4m", build_media_y4m)
+
+
 def _stage_media(spark: SparkSession, sf_dir: str, name: str,
                  builder) -> DataFrame:
     """Shared staging for synthesized media tables (same rationale as

@@ -1,0 +1,52 @@
+"""Distributed BPE merge learning vs the independent dict-based
+reference (Sennrich et al. 2016 — public literature). The two
+implementations share only the problem definition; exact agreement
+(tie-breaks included) is the correctness bar, mirroring the driver's
+VALUES-literal oracle."""
+
+import duckdb
+import pytest
+
+from geotiff_processor_spark.operators import bpe
+
+
+def _ref_counts(sf_dir):
+    return dict(duckdb.sql(
+        "SELECT w, count(*) FROM (SELECT unnest(string_split(text, ' '))"
+        f" AS w FROM '{sf_dir}/documents.parquet') WHERE w <> ''"
+        " GROUP BY w").fetchall())
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["step"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe.bpe_train(docs.select("text"), n_merges=12)
+           .collect()]
+    assert got == bpe.bpe_reference(_ref_counts(sf_dir), n_merges=12)
+    assert len(got) == 12
+    # merge table is a learned sequence: later steps may reference
+    # earlier merged symbols (multi-char lhs/rhs eventually appear)
+    assert got[0][0] == 1 and got[-1][0] == 12
+
+
+def test_bpe_greedy_nonoverlap_and_tiebreak(spark):
+    """'aaaa' x5: pair (a,a) counts 3 per word = 15; after merging,
+    'aa aa' leaves (aa,aa) — the greedy non-overlapping scan must not
+    merge across a consumed symbol. Tie-breaks go lexicographic."""
+    df = spark.createDataFrame([("aaaa",)] * 5 + [("bc",)] * 15,
+                               ["text"])
+    got = [(r["step"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe.bpe_train(df, n_merges=3).collect()]
+    ref = bpe.bpe_reference({"aaaa": 5, "bc": 15}, n_merges=3)
+    assert got == ref
+    # step 1: (a,a)=15 ties (b,c)=15 -> lexicographic picks (a,a)
+    assert got[0] == (1, "a", "a", 15)
+    # step 2: 'aa aa' gives (aa,aa)=5; (b,c)=15 wins
+    assert got[1] == (2, "b", "c", 15)
+    assert got[2] == (3, "aa", "aa", 5)
+
+
+def test_bpe_reference_exhausts_pairs():
+    """Vocabulary of single chars has no pairs: zero merges, and the
+    trainer stops early instead of looping."""
+    assert bpe.bpe_reference({"a": 3, "b": 2}, n_merges=5) == []

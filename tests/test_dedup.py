@@ -65,3 +65,40 @@ def test_first_wins_semantics(spark):
     out = dedup.first_wins(df, "k", "o").collect()
     got = {r["k"]: r["v"] for r in out}
     assert got == {1: "b", 2: "c"}
+
+
+def test_exact_substr_dedup_semantics(spark):
+    """Planted overlap: docs A and B share a 10-token run (k=4 =>
+    7 duplicated gram positions each); C is disjoint; D is shorter
+    than k (zero grams, still present in the output)."""
+    run = " ".join(f"w{i}" for i in range(10))
+    a = run + " xa ya za"
+    b = "pb qb " + run
+    c = " ".join(f"c{i}" for i in range(12))
+    d = "tiny doc"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substr_dedup(df, k=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc A: 13 tokens -> 10 grams; grams starting inside the run
+    # at positions 1..7 are shared with B
+    assert out[1]["n_grams"] == 10 and out[1]["dup_grams"] == 7
+    assert out[2]["n_grams"] == 9 and out[2]["dup_grams"] == 7
+    assert out[3]["n_grams"] == 9 and out[3]["dup_grams"] == 0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_grams"] == 0
+    assert out[4]["dup_frac"] == 0.0
+    assert out[1]["dup_frac"] == 0.7
+
+
+def test_exact_substr_within_doc_repeat_not_cross_doc(spark):
+    """A gram repeated only INSIDE one doc is not cross-doc duplicated
+    (n_docs >= 2 is the rule), and the partial-agg occ rollup keeps
+    the position count right."""
+    rep = "x y z x y z x y z"  # 'x y z' 3x, 9 tokens, k=3 -> 7 grams
+    df = spark.createDataFrame(
+        [(1, rep), (2, "a b c d e")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substr_dedup(df, k=3).collect()}
+    assert out[1]["n_grams"] == 7 and out[1]["dup_grams"] == 0
+    assert out[2]["dup_grams"] == 0

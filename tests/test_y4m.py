@@ -1,0 +1,80 @@
+"""YUV4MPEG2 codec: lossless round trip, header parsing, robustness.
+
+Closes the last fake-decoder slot (video) in the PNG/JPEG/WAV/Y4M
+real-codec family. Reference analog: media work is external-tool-side
+in the reference (/root/reference/export_formats/previews.py:24-39).
+"""
+
+import numpy as np
+import pytest
+
+from geotiff_processor_spark.functions import y4m as Y
+from geotiff_processor_spark.operators import multimodal
+from geotiff_processor_spark.sources import synth
+
+
+def test_roundtrip_c444_and_mono_lossless():
+    rng = np.random.default_rng(7)
+    fr = rng.integers(0, 256, (5, 16, 12, 3), dtype=np.uint8)
+    w, h, fps, back = Y.decode_y4m(Y.encode_y4m(fr, (30, 1)))
+    assert (w, h, fps) == (12, 16, (30, 1))
+    assert np.array_equal(back, fr)
+    mono = rng.integers(0, 256, (3, 8, 10), dtype=np.uint8)
+    w, h, fps, back = Y.decode_y4m(Y.encode_y4m(mono))
+    assert (w, h, fps) == (10, 8, (25, 1))
+    assert np.array_equal(back, mono)
+
+
+def test_header_tolerates_unknown_params():
+    """Real streams carry X metadata / interlace tags the parser must
+    skip (like PNG ancillary chunks / WAV LIST chunks)."""
+    fr = np.full((2, 4, 4, 3), 9, np.uint8)
+    data = Y.encode_y4m(fr)
+    nl = data.find(b"\n")
+    spliced = (data[:nl] + b" XYSCSS=444 Xconverted" + data[nl:])
+    w, h, fps, back = Y.decode_y4m(spliced)
+    assert (w, h) == (4, 4)
+    assert np.array_equal(back, fr)
+
+
+def test_decoder_rejects_subsampled_bad_magic_truncated():
+    fr = np.zeros((1, 4, 4, 3), np.uint8)
+    data = Y.encode_y4m(fr)
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        Y.decode_y4m(b"RIFF" + data[4:])
+    with pytest.raises(ValueError, match="unsupported colourspace"):
+        Y.decode_y4m(data.replace(b"C444", b"C420jpeg"))
+    with pytest.raises(ValueError, match="truncated"):
+        Y.decode_y4m(data[:-5])
+    # default colourspace (no C tag) is 420 => unsupported, not a crash
+    with pytest.raises(ValueError, match="unsupported colourspace"):
+        Y.decode_y4m(data.replace(b" C444", b""))
+
+
+def test_decode_video_matches_formula(spark, sf_dir):
+    """Engine parse of the planted payloads reproduces the integer
+    pixel formula's sampled-frame plane means exactly (the oracle
+    identity), with the every-2 sampling contract."""
+    media = synth.build_media_y4m(spark, sf_dir).limit(20)
+    rows = multimodal.decode_video(media, payload_col="y4m",
+                                   key_col="url", every=2).collect()
+    n_sampled = (synth.VIDEO_FRAMES + 1) // 2
+    assert len(rows) == 20 * n_sampled
+    a, b, c, d, e = synth.VIDEO_COEFS
+    s = synth.VIDEO_SIZE
+    import pyspark.sql.functions as F
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    url2i = {r["url"]: r["i"] for r in events.select(
+        F.col("event_id").alias("i"),
+        F.expr(synth.SQL_URL).alias("url")).collect()}
+    y = np.arange(s, dtype=np.int64)[:, None]
+    x = np.arange(s, dtype=np.int64)[None, :]
+    for r in rows:
+        i = url2i[r["url"]]
+        assert r["frame_idx"] % 2 == 0
+        assert r["n_frames"] == synth.VIDEO_FRAMES
+        assert (r["width"], r["height"]) == (s, s)
+        assert r["fps_num"] == synth.VIDEO_FPS
+        for p, col in enumerate(("mean_y", "mean_u", "mean_v")):
+            v = (i * a + r["frame_idx"] * b + y * c + x * d + p * e) % 251
+            assert r[col] == v.mean(), (r["url"], col)
