@@ -207,3 +207,58 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("b_docs", "b_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_substr_dedup_gram_text_never_shuffles(spark, sf_dir):
+    """ExactSubstr: every occurrence reduces to a 16-byte md5 before
+    any exchange — no shuffle carries the gram or document text, and
+    the per-(digest,doc) rollup is a partial agg (boilerplate skew is
+    bounded map-side)."""
+    from geotiff_processor_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = _plan(dd.exact_substr_dedup(docs, k=8))
+    assert len(_exchanges(plan)) >= 3, plan[:2000]
+    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert " text#" not in ex.group(1)
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan  # all-native: no Python in the path
+
+
+def test_decode_video_is_map_only(spark, sf_dir):
+    """Video decode + frame sampling runs entirely map-side: payloads
+    never shuffle (the only stages are scan -> Arrow eval)."""
+    media = synth.build_media_y4m_staged(spark, sf_dir)
+    from geotiff_processor_spark.operators import multimodal as mm
+    plan = _plan(mm.decode_video(media, payload_col="y4m",
+                                 key_col="url", every=2))
+    assert len(_exchanges(plan)) == 0, plan[:2000]
+    assert "MapInPandas" in plan
+
+
+def test_bpe_pair_count_stage_partial_aggs(spark, sf_dir):
+    """The per-step pair-count job must partial-agg map-side so the
+    exchange carries (pair, count) rows bounded by distinct pairs —
+    asserted on the stage plan the trainer runs each iteration."""
+    from geotiff_processor_spark.operators import bpe as bp
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text")
+    vocab = (bp.word_counts(docs)
+             .withColumn("syms", F.expr(
+                 "transform(sequence(1, length(word)),"
+                 " i -> substr(word, i, 1))"))
+             .select("syms", "cnt"))
+    pairs = (
+        vocab.select(
+            "cnt",
+            F.explode(F.arrays_zip(
+                F.slice("syms", 1, F.size("syms") - 1).alias("lhs"),
+                F.slice("syms", 2, F.size("syms") - 1).alias("rhs"),
+            )).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("pair_count")))
+    plan = _plan(pairs)
+    assert "partial" in plan.lower(), plan[:2000]
+    # word-count agg + pair agg, both hash exchanges of (key, count)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, \
+        plan[:2000]
