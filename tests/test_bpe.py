@@ -50,3 +50,52 @@ def test_bpe_reference_exhausts_pairs():
     """Vocabulary of single chars has no pairs: zero merges, and the
     trainer stops early instead of looping."""
     assert bpe.bpe_reference({"a": 3, "b": 2}, n_merges=5) == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _brute_bpe(counts, n):
+    """Second, even simpler reference: re-derive merges by string ops
+    on space-joined symbol strings (a different representation from
+    bpe_reference's tuples) — property-level cross-check."""
+    from collections import Counter
+    state = {" ".join(w): c for w, c in counts.items() if w}
+    out = []
+    for step in range(1, n + 1):
+        pc = Counter()
+        for s, c in state.items():
+            syms = s.split(" ")
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((step, l, r, cnt))
+        nxt = {}
+        for s, c in state.items():
+            syms, res, i = s.split(" "), [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            k = " ".join(res)
+            nxt[k] = nxt.get(k, 0) + c
+        state = nxt
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.integers(1, 9), min_size=1, max_size=12),
+    st.integers(1, 6))
+def test_bpe_reference_matches_brute(counts, n):
+    from geotiff_processor_spark.operators.bpe import bpe_reference
+    assert bpe_reference(counts, n) == _brute_bpe(counts, n)

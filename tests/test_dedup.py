@@ -102,3 +102,37 @@ def test_exact_substr_within_doc_repeat_not_cross_doc(spark):
            dedup.exact_substr_dedup(df, k=3).collect()}
     assert out[1]["n_grams"] == 7 and out[1]["dup_grams"] == 0
     assert out[2]["dup_grams"] == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+                min_size=1, max_size=8),
+       st.integers(2, 4))
+def test_exact_substr_matches_brute_force(spark, token_lists, k):
+    """Distributed result == brute-force set arithmetic on any tiny
+    corpus (single-char tokens over a 3-letter alphabet force heavy
+    cross-doc collisions)."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(token_lists)]
+    got = {r["doc_id"]: (r["n_grams"], r["dup_grams"]) for r in
+           dedup.exact_substr_dedup(
+               spark.createDataFrame(rows, ["doc_id", "text"]),
+               k=k).collect()}
+    # brute force
+    from collections import Counter
+    grams = {}
+    for i, t in enumerate(token_lists):
+        toks = " ".join(t).split(" ")  # mirror split semantics ('' case)
+        gs = [tuple(toks[j:j + k]) for j in range(len(toks) - k + 1)] \
+            if len(toks) >= k else []
+        grams[i] = gs
+    docs_per = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            docs_per[g] += 1
+    for i, gs in grams.items():
+        dup = sum(1 for g in gs if docs_per[g] >= 2)
+        assert got[i] == (len(gs), dup), (i, token_lists)

@@ -78,3 +78,22 @@ def test_decode_video_matches_formula(spark, sf_dir):
         for p, col in enumerate(("mean_y", "mean_u", "mean_v")):
             v = (i * a + r["frame_idx"] * b + y * c + x * d + p * e) % 251
             assert r[col] == v.mean(), (r["url"], col)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+import numpy as np
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 6), st.integers(1, 24), st.integers(1, 24),
+       st.booleans(), st.integers(1, 60))
+def test_y4m_roundtrip_property(f, h, w, mono, fps_num):
+    """Any frame count / dims / colourspace round-trips losslessly."""
+    rng = np.random.default_rng(f * 1000 + h * 37 + w)
+    shape = (f, h, w) if mono else (f, h, w, 3)
+    fr = rng.integers(0, 256, shape, dtype=np.uint8)
+    from geotiff_processor_spark.functions.y4m import decode_y4m, encode_y4m
+    ww, hh, fps, back = decode_y4m(encode_y4m(fr, (fps_num, 1)))
+    assert (ww, hh, fps) == (w, h, (fps_num, 1))
+    assert np.array_equal(back, fr)
