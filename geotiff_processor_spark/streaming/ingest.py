@@ -77,6 +77,58 @@ def windowed_ingest_stream(spark: SparkSession, input_dir: str,
     q.awaitTermination()
 
 
+def flagship_stream(spark: SparkSession, input_dir: str,
+                    output_dir: str, checkpoint_dir: str,
+                    schema=None, window: str = "1 hour",
+                    watermark: str = "30 minutes", zoom: int = 6) -> None:
+    """The north-rule spatial pipeline AS A STREAM: pages stream ->
+    geocode -> broadcast PIP join -> XYZ tile assign -> watermarked
+    event-time windowed (polygon, tile) page counts, append-mode
+    exactly-once sink.
+
+    Everything upstream of the window agg is STATELESS in streaming
+    terms (projections + a broadcast join — the polygon side is a
+    static bounded table, so no stream-stream state grows); the only
+    stateful operator is the watermarked window count, whose state is
+    bounded by (windows in flight) x (polygon, tile) keys. That makes
+    this the same plan shape the batch flagship runs (bench.py
+    flagship_pipeline), executed incrementally with late-data
+    discipline — the streaming analog of the reference's per-file loop
+    with its processed-registry (process.py:100-241, helpers.py:166-183).
+    """
+    from ..functions.geo import sql_tile_x, sql_tile_y
+    from ..operators import pip
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    asg = pip.pip_join(geocode(stream), pip.build_cover_table(spark))
+    agg = (
+        asg.withColumn("tile_x", F.expr(sql_tile_x("lonm", zoom)))
+        .withColumn("tile_y", F.expr(sql_tile_y("lat", zoom)))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"),
+                 "polygon_id", "zone", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum(F.length("text")).alias("n_bytes"))
+        .select(F.col("w.start").alias("window_start"),
+                "polygon_id", "zone", "tile_x", "tile_y",
+                "n_pages", "n_bytes")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_throughput(pages: DataFrame,
                         window: str = "1 hour") -> DataFrame:
     """Event-time tumbling window counts over warc_ts (batch or stream;

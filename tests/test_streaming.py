@@ -68,3 +68,48 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # hour-0 window finalized with the 2 on-time rows; the late row is gone
     assert got[0] == 2
     assert got[1] == 1 and got[2] == 1
+
+
+def test_flagship_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The north-rule pipeline as a stream: geocode -> broadcast PIP ->
+    tile assign -> watermarked windowed counts must emit EXACTLY the
+    batch plan's rows for every finalized window (stateless joins add
+    no streaming state; the window agg is the only stateful op)."""
+    from geotiff_processor_spark.functions.geo import sql_tile_x, sql_tile_y
+    from geotiff_processor_spark.operators import pip
+
+    src = str(tmp_path / "fsrc")
+    out = str(tmp_path / "fout")
+    ckpt = str(tmp_path / "fckpt")
+    pages = synth.build_pages(spark, sf_dir, with_html=False)
+    # one real file (no intra-stream late rows), then two far-future
+    # flush rows in separate files: the first advances the watermark
+    # past every real window, the second forces the micro-batch that
+    # emits them (append mode emits on the batch AFTER finalization)
+    pages.coalesce(1).write.mode("append").parquet(src)
+    flush = pages.limit(1)
+    for hours in (2, 4):
+        flush.withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr(f"INTERVAL {hours} HOURS")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    ingest.flagship_stream(spark, src, out, ckpt,
+                           window="5 minutes", watermark="2 minutes")
+
+    emitted = (spark.read.parquet(out)
+               .filter(F.col("window_start") < "2025-01-01 01:00:00"))
+    asg = pip.pip_join(synth.geocode(pages), pip.build_cover_table(spark))
+    expected = (
+        asg.withColumn("tile_x", F.expr(sql_tile_x("lonm", 6)))
+        .withColumn("tile_y", F.expr(sql_tile_y("lat", 6)))
+        .groupBy(F.window("warc_ts", "5 minutes").alias("w"),
+                 "polygon_id", "zone", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum(F.length("text")).alias("n_bytes"))
+        .select(F.col("w.start").alias("window_start"),
+                "polygon_id", "zone", "tile_x", "tile_y",
+                "n_pages", "n_bytes")
+    )
+    assert emitted.count() == expected.count() > 0
+    assert emitted.exceptAll(expected).count() == 0
+    assert expected.exceptAll(emitted).count() == 0
