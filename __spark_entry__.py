@@ -514,6 +514,18 @@ def q_decode_jpeg(spark, sf_dir):
                                     key_col="url", strict=True)
 
 
+def q_decode_gif(spark, sf_dir):
+    """REAL GIF (LZW) decode, end-to-end oracle-checked: palette
+    indices AND the global palette both derive from integer formulas
+    of the event id, LZW is lossless, so DuckDB recomputes the decoded
+    per-channel means with pure arithmetic (no table lookup) while the
+    engine LZW-decodes the actual bytes. With PNG/JPEG/WAV/Y4M this
+    makes every sniffed magic kind a real decoder. strict=True."""
+    media = synth.build_media_gif_staged(spark, sf_dir)
+    return multimodal.decode_images(media, payload_col="gif",
+                                    key_col="url", strict=True)
+
+
 def q_decode_audio(spark, sf_dir):
     """REAL RIFF/WAVE PCM16 decode (functions/wav.py), end-to-end
     oracle-checked: payload samples derive from an integer formula of
@@ -1164,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_ingest": q_hourly_ingest,
         "dedup_exact": q_dedup_exact,
         "decode_audio": q_decode_audio,
+        "decode_gif": q_decode_gif,
         "reproject_ps": q_reproject_ps,
         "reproject_merc": q_reproject_merc,
         "terrarium_encode": q_terrarium_encode,
@@ -2059,6 +2072,27 @@ FROM w, t"""
         f" cast({synth.WAV_FRAMES} as integer) AS n_frames,"
         f" cast({synth.WAV_RATE} as integer) AS sample_rate,"
         " n_channels, mean_abs, peak FROM m"
+    )
+
+    _gs = synth.GIF_SIZE
+    sql["decode_gif"] = (
+        "WITH p0 AS (SELECT event_id AS i FROM events),\n"
+        f"ys AS (SELECT range AS y FROM range({_gs})),\n"
+        f"xs AS (SELECT range AS x FROM range({_gs})),\n"
+        "px AS (\n"
+        f"  SELECT i, {synth.sql_gif_channel(0)} AS r,"
+        f" {synth.sql_gif_channel(1)} AS g,"
+        f" {synth.sql_gif_channel(2)} AS b\n"
+        "  FROM p0, ys, xs\n),\n"
+        "m AS (\n"
+        f"  SELECT i, cast(sum(r) as double)/{_gs * _gs} AS mean_r,\n"
+        f"    cast(sum(g) as double)/{_gs * _gs} AS mean_g,\n"
+        f"    cast(sum(b) as double)/{_gs * _gs} AS mean_b\n"
+        "  FROM px GROUP BY i\n)\n"
+        f"SELECT {synth.SQL_URL} AS url,"
+        f" cast({_gs} as integer) AS height,"
+        f" cast({_gs} as integer) AS width,"
+        " mean_r, mean_g, mean_b FROM m"
     )
 
     _vs = synth.VIDEO_SIZE

@@ -1,0 +1,168 @@
+"""Pure-python/numpy GIF87a/89a codec (LZW).
+
+With PNG (``functions/png.py``), JPEG (``functions/jpeg.py``), WAV
+(``functions/wav.py``) and Y4M (``functions/y4m.py``) this completes
+real decoders for EVERY magic kind ``operators/multimodal.py`` sniffs
+('gif' was the last slot still served by the deterministic fake).
+Reference analog: all media work is external-tool-side in the
+reference (/root/reference/export_formats/previews.py:24-39).
+
+Supported: single-frame, non-interlaced images with a global color
+table; extensions (GCE/comment/application) are walked and skipped
+like PNG ancillary chunks. Interlace and local color tables raise
+(documented limits, like the other codecs). LZW decode is exact, so
+planted payloads whose palette indices derive from an integer formula
+are end-to-end oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (256, 3) uint8 palette -> GIF89a.
+
+    The LZW stream uses the always-legal "emit literals, CLEAR before
+    the code table would force a width change" strategy: every root
+    code is valid at min_code_size 8 (9-bit codes), and resetting the
+    table whenever 254 codes have been added keeps the width at 9 bits
+    throughout — byte-simple, decodable by any conformant reader.
+    """
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("encode_gif expects (h, w) uint8 indices")
+    if palette.shape != (256, 3) or palette.dtype != np.uint8:
+        raise ValueError("encode_gif expects a (256, 3) uint8 palette")
+    h, w = indices.shape
+    out = [b"GIF89a", struct.pack("<HH", w, h),
+           bytes([0xF7, 0, 0]),  # GCT present, 256 entries
+           palette.tobytes(),
+           b"\x2C", struct.pack("<HHHH", 0, 0, w, h), b"\x00",
+           b"\x08"]  # image descriptor, no LCT; min code size 8
+    clear, end = 256, 257
+    bits, acc, nbits = [], 0, 0
+    codes = [clear]
+    added = 0
+    for v in indices.ravel().tolist():
+        codes.append(v)
+        added += 1
+        if added >= 254:
+            codes.append(clear)
+            added = 0
+    codes.append(end)
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    _ = bits
+    for i in range(0, len(data), 255):
+        chunk = bytes(data[i:i + 255])
+        out.append(bytes([len(chunk)]) + chunk)
+    out.append(b"\x00")  # block terminator
+    out.append(b"\x3B")  # trailer
+    return b"".join(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> (h, w, 3) uint8 RGB (first frame)."""
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w, he = struct.unpack("<HH", data[6:10])
+    packed, _bg, _ar = data[10], data[11], data[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported; this "
+                                 "codec handles GCT-only GIFs")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIFs unsupported")
+            if gct is None:
+                raise ValueError("missing global color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
+            img = gct[np.asarray(idx, np.int32)].reshape(ih, iw, 3)
+            _ = (left, top, w, he)
+            return img
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"corrupt block 0x{b:02x}")
+    raise ValueError("no image block")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
+    """Standard GIF LZW: variable code width, CLEAR resets the table."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        width = min_code + 1
+
+    width = min_code + 1
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_expected:
+                return out
+    return out

@@ -1,13 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct. PNG payloads decode for REAL via the pure-python/numpy
-codec in ``functions.png`` (stdlib zlib) and JPEG payloads via the
-baseline-sequential codec in ``functions.jpeg`` (huffman + IDCT +
-YCbCr->RGB, numpy only) — no PIL/libjpeg needed; the round-2/3
-"stubbed codec" slots are both live. Other payload kinds fall back to
-a deterministic fake decoder (default) or raise (strict mode) — the
-slot where ffmpeg would plug in on a real cluster.
+metadata struct. Every magic kind the sniffer knows decodes for REAL:
+PNG via ``functions.png`` (stdlib zlib), baseline JPEG via
+``functions.jpeg`` (huffman + IDCT + YCbCr->RGB), GIF via
+``functions.gif`` (LZW), RIFF/WAVE via ``functions.wav``, and video
+via ``functions.y4m`` — no PIL/libjpeg/ffmpeg needed. Unknown payload
+kinds fall back to a deterministic fake decoder (default) or raise
+(strict mode) — the slot where ffmpeg would plug in on a real cluster
+for compressed video/audio containers.
 
 Operators:
 - ``extract_media_meta``: sniff magic bytes + sizes from the binary
@@ -96,6 +97,7 @@ def decode_images(df: DataFrame, payload_col: str = "html",
               " mean_r double, mean_g double, mean_b double")
 
     def decode(batches):
+        from ..functions.gif import decode_gif
         from ..functions.jpeg import decode_jpeg
         from ..functions.png import decode_png
         for pdf in batches:
@@ -108,10 +110,12 @@ def decode_images(df: DataFrame, payload_col: str = "html",
                     img = decode_png(p)[:, :, :3]
                 elif p[:3] == b"\xff\xd8\xff":
                     img = decode_jpeg(p)
+                elif p[:4] == b"GIF8":
+                    img = decode_gif(p)
                 elif strict:
                     raise ValueError(
                         f"no codec for payload magic {p[:4]!r}: only the"
-                        " built-in PNG and baseline-JPEG codecs are"
+                        " built-in PNG, baseline-JPEG and GIF codecs are"
                         " available in this container (ffmpeg slot)")
                 else:
                     img = _fake_decode(p, h, w)

@@ -527,6 +527,67 @@ def build_media_wav_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GIF media table: REAL GIF89a LZW payloads (functions/gif codec)
+# ---------------------------------------------------------------------------
+
+GIF_SIZE = 16
+
+# index formula: idx(i, y, x) = (i*11 + y*17 + x*5) % 256; the global
+# palette is itself a formula pal(c, ch) = (c*7 + ch*13 + 29) % 256, so
+# the decoded RGB needs no table lookup in SQL: channel ch of pixel
+# (y, x) is ((idx*7 + ch*13 + 29) % 256) — exact through the lossless
+# LZW round trip
+GIF_IDX_COEFS = (11, 17, 5)
+GIF_PAL_COEFS = (7, 13, 29)
+
+
+def sql_gif_channel(ch: int) -> str:
+    a, b, c = GIF_IDX_COEFS
+    p, q, r = GIF_PAL_COEFS
+    idx = f"((i*{a} + y*{b} + x*{c}) % 256)"
+    return f"(({idx}*{p} + {ch}*{q} + {r}) % 256)"
+
+
+def build_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, gif) — gif is a REAL GIF89a payload (functions/gif LZW
+    encoder) whose palette indices derive from the event id; LZW is
+    lossless, so the full parse + palette mapping is oracle-exact."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.gif import encode_gif
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = events.select(F.col("event_id").alias("i"),
+                         F.expr(SQL_URL).alias("url"))
+    a, b, c = GIF_IDX_COEFS
+    p, q, r = GIF_PAL_COEFS
+    s = GIF_SIZE
+
+    def gen(batches):
+        y = np.arange(s, dtype=np.int64)[:, None]
+        x = np.arange(s, dtype=np.int64)[None, :]
+        cs = np.arange(256, dtype=np.int64)[:, None]
+        ch = np.arange(3, dtype=np.int64)[None, :]
+        pal = ((cs * p + ch * q + r) % 256).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["i"].to_numpy(np.int64):
+                idx = ((int(i) * a + y * b + x * c) % 256).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"url": pdf["url"], "gif": payloads})
+
+    return base.mapInPandas(gen, "url string, gif binary")
+
+
+def build_media_gif_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_media_gif materialized once per sf_dir."""
+    return _stage_media(spark, sf_dir, "media_gif", build_media_gif)
+
+
+# ---------------------------------------------------------------------------
 # Y4M media table: REAL YUV4MPEG2 C444 video payloads (functions/y4m codec)
 # ---------------------------------------------------------------------------
 
