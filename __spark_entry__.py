@@ -1065,6 +1065,23 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.bpe_train(docs.select("text"), n_merges=20)
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-graph centrality (fixed-iteration PageRank over a
+    deterministic 3-out-regular synthetic link table) — the crawl
+    quality prior web-corpus curation filters on. Distributed power
+    iteration: one co-partitioned edge⋈rank join + one dst-keyed
+    partial-agg shuffle per round; the oracle runs the IDENTICAL
+    arithmetic as chained CTEs (no inlined literals), rounded to 6
+    decimals per the repo's float-oracle convention."""
+    from geotiff_processor_spark.operators import graph
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = events.count()
+    nodes = events.select(F.col("event_id").alias("page_id"))
+    edges = graph.synth_edges(events, n)
+    return graph.pagerank(nodes, edges, n, iters=5)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus term-frequency top-100 (tokenizer-training vocab scan):
     one vocabulary-bounded shuffle after map-side partial aggregation,
@@ -1111,8 +1128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row; hourly_ingest: batch-shaped window counts whose §2.9
     # row is now covered BETTER by flagship_stream (a real watermarked
     # stream with append-mode finalization over the same window rule)
-    # — rotated out so flagship_stream gets the driver row) — sit at
-    # the
+    # — rotated out so flagship_stream gets the driver row;
+    # preview_math: gamma/soft-light/contrast scalar exprs also pinned
+    # by golden previews (test_goldens) and the hillshade pipeline —
+    # rotated out so the NEW pagerank graph operator gets a driver
+    # row) — sit at the
     # TAIL so every DISTINCT operator gets a driver-checked row; the
     # tail stays registered for pytest, bench, manual runs, and the
     # all-72 differential artifact (scripts/diffcheck.py -> DIFFCHECK).
@@ -1137,7 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_general": q_pip_general,
         "nodata_normalize": q_nodata_normalize,
         "hillshade": q_hillshade,
-        "preview_math": q_preview_math,
+        "pagerank": q_pagerank,
         "outline_components": q_outline_components,
         "decode_video": q_decode_video,
         "media_meta": q_media_meta,
@@ -1174,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "lineage_metrics": q_lineage_metrics,
         "hourly_ingest": q_hourly_ingest,
+        "preview_math": q_preview_math,
         "dedup_exact": q_dedup_exact,
         "decode_audio": q_decode_audio,
         "decode_gif": q_decode_gif,
@@ -1411,6 +1432,18 @@ FROM ranked WHERE rnk <= 10"""
     try:
         sql["ann_ivf"] = ann.oracle_sql_ivf_ann(
             ORACLE_SF_DIR, n_queries=5, k=10, n_lists=16, nprobe=4)
+    except Exception:
+        pass  # sf dir unavailable: driver falls back to rows-only
+    # PageRank oracle: chained-CTE power iteration — needs the node
+    # count of the oracle sf_dir (a literal in both engines' formulas)
+    try:
+        import duckdb as _duck2
+
+        from geotiff_processor_spark.operators.graph import sql_pagerank
+        _n = _duck2.sql(
+            f"SELECT count(*) FROM '{ORACLE_SF_DIR}/events.parquet'"
+        ).fetchone()[0]
+        sql["pagerank"] = sql_pagerank(int(_n), iters=5)
     except Exception:
         pass  # sf dir unavailable: driver falls back to rows-only
     # BPE oracle: an INDEPENDENT single-node implementation learns the
