@@ -42,8 +42,13 @@ HEADLINE = [
     "repetition_signals", "chunk_tokens", "pii_scrub",
     "stratified_sample", "dedup_canonical", "shuffle_rank",
     "pack_sequences", "source_cap", "line_dedup", "vocab_topk",
-    "decode_video", "substr_dedup",
+    "decode_video", "substr_dedup", "decode_gif", "pagerank",
 ]
+# bpe_merges and flagship_stream are deliberately NOT in the headline:
+# their wall time is fixed-cost dominated (20 sequential argmax rounds;
+# stream-machinery startup + temp-dir writes), so a sum-of-wall-times
+# metric would measure the harness, not engine throughput. Both remain
+# driver-checked queries with full oracles.
 
 
 def _session(master: str) -> SparkSession:
