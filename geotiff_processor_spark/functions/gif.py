@@ -42,7 +42,7 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
            b"\x2C", struct.pack("<HHHH", 0, 0, w, h), b"\x00",
            b"\x08"]  # image descriptor, no LCT; min code size 8
     clear, end = 256, 257
-    bits, acc, nbits = [], 0, 0
+    acc, nbits = 0, 0
     codes = [clear]
     added = 0
     for v in indices.ravel().tolist():
@@ -62,7 +62,6 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
             nbits -= 8
     if nbits:
         data.append(acc & 0xFF)
-    _ = bits
     for i in range(0, len(data), 255):
         chunk = bytes(data[i:i + 255])
         out.append(bytes([len(chunk)]) + chunk)
@@ -110,10 +109,11 @@ def decode_gif(data: bytes) -> np.ndarray:
                 lzw += data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
+            # single-frame contract: the first image block IS the
+            # picture (left/top offsets compose multi-frame GIFs only)
+            del left, top, w, he
             idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
-            img = gct[np.asarray(idx, np.int32)].reshape(ih, iw, 3)
-            _ = (left, top, w, he)
-            return img
+            return gct[np.asarray(idx, np.int32)].reshape(ih, iw, 3)
         elif b == 0x3B:
             break
         else:
