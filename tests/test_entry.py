@@ -32,3 +32,33 @@ def test_all_queries_run_and_nonempty(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_driver_checked_prefix_covers_distinct_operators():
+    """The external driver evaluates only the FIRST 50 queries()
+    entries (registration order). Guard the prefix composition: every
+    operator family's distinct rules — and especially operators new
+    this round — must sit inside the checked window, and the window
+    must be exactly the documented 50 wide before the tail comment."""
+    import __spark_entry__ as m
+    names = list(m.queries().keys())
+    prefix = set(names[:50])
+    must_be_checked = {
+        # round-4 additions
+        "decode_video", "substr_dedup", "bpe_merges", "flagship_stream",
+        "pagerank", "streaming_dedup",
+        # one representative per long-standing family
+        "pip_count", "pip_general", "knn", "zonal_stats", "hillshade",
+        "outline_components", "minhash_sigs", "minhash_candidates",
+        "ngram_jaccard", "simhash", "embedding_near_dup", "ann_cosine",
+        "ann_lsh", "ann_ivf", "decode_images", "decode_jpeg",
+        "reproject_utm", "reproject_lcc", "metadata_map", "line_dedup",
+        "dedup_canonical", "lm_score", "decontaminate", "vocab_topk",
+        "pack_sequences", "source_cap", "shuffle_rank", "sessionize",
+        "stratified_sample", "pii_scrub", "chunk_tokens",
+        "repetition_signals", "text_quality",
+    }
+    missing = must_be_checked - prefix
+    assert not missing, f"rotated out of the driver-checked 50: {missing}"
+    oracles = m.oracle_sql()
+    assert all(n in oracles for n in names), "every query needs an oracle"
