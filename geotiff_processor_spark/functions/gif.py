@@ -75,6 +75,8 @@ def decode_gif(data: bytes) -> np.ndarray:
     data = bytes(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
+    if len(data) < 13:
+        raise ValueError("truncated GIF payload")
     w, he = struct.unpack("<HH", data[6:10])
     packed, _bg, _ar = data[10], data[11], data[12]
     pos = 13
@@ -83,14 +85,21 @@ def decode_gif(data: bytes) -> np.ndarray:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    def _need(p):
+        if p >= len(data):
+            raise ValueError("truncated GIF payload")
+        return data[p]
+
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while data[pos] != 0:
+            while _need(pos) != 0:
                 pos += 1 + data[pos]
             pos += 1
         elif b == 0x2C:
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF payload")
             left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
             ipacked = data[pos + 9]
             pos += 10
@@ -101,11 +110,13 @@ def decode_gif(data: bytes) -> np.ndarray:
                 raise ValueError("interlaced GIFs unsupported")
             if gct is None:
                 raise ValueError("missing global color table")
-            min_code = data[pos]
+            min_code = _need(pos)
             pos += 1
             lzw = bytearray()
-            while data[pos] != 0:
+            while _need(pos) != 0:
                 ln = data[pos]
+                if pos + 1 + ln > len(data):
+                    raise ValueError("truncated GIF payload")
                 lzw += data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
             pos += 1

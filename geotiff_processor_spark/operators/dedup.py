@@ -356,10 +356,7 @@ def exact_substr_dedup(docs: DataFrame, key_col: str = "doc_id",
     )
     # docs shorter than k tokens produce no grams at all: restore them
     # with zero counts so the output is total over the corpus
-    base = docs.select(
-        key_col,
-        F.greatest(F.size(toks) - k + 1, F.lit(0))
-        .cast("bigint").alias("_n"))
+    base = docs.select(key_col)
     return (
         base.join(per_doc, key_col, "left")
         .select(

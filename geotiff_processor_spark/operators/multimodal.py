@@ -47,6 +47,7 @@ _MAGIC = [
     ("png", b"\x89PNG"),
     ("gif", b"GIF8"),
     ("riff", b"RIFF"),
+    ("y4m", b"YUV4"),
     ("html", b"<htm"),
 ]
 
@@ -87,10 +88,11 @@ def decode_images(df: DataFrame, payload_col: str = "html",
     """Batch image decode via mapInPandas (Arrow-vectorized transfer).
 
     Returns (key, height, width, mean_r, mean_g, mean_b) — the feature
-    extraction a training pipeline runs post-decode. PNG payloads
-    decode for real (functions.png: zlib inflate + numpy unfilter);
-    other payload kinds use the deterministic fake decoder, or raise
-    with strict=True (the slot where libjpeg/ffmpeg would plug in).
+    extraction a training pipeline runs post-decode. PNG, baseline
+    JPEG and GIF payloads all decode for REAL (functions.png/.jpeg/
+    .gif); unknown payload kinds use the deterministic fake decoder,
+    or raise with strict=True (the remaining ffmpeg slot for
+    compressed containers this repo has no codec for).
     """
     strict = STRICT_DECODE if strict is None else strict
     schema = (f"{key_col} string, height int, width int,"
@@ -189,6 +191,7 @@ def decode_video(df: DataFrame, payload_col: str = "y4m",
                                     "mean_y", "mean_u", "mean_v")}
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 w, h, fps, frames = decode_y4m(bytes(payload))
+                mono = frames.ndim == 3  # Cmono: luma only, no chroma
                 means = frames.astype(np.float64).mean(axis=(1, 2))
                 for fi in range(0, frames.shape[0], every):
                     rows[key_col].append(key)
@@ -197,9 +200,14 @@ def decode_video(df: DataFrame, payload_col: str = "y4m",
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["fps_num"].append(fps[0])
-                    rows["mean_y"].append(float(means[fi, 0]))
-                    rows["mean_u"].append(float(means[fi, 1]))
-                    rows["mean_v"].append(float(means[fi, 2]))
+                    if mono:
+                        rows["mean_y"].append(float(means[fi]))
+                        rows["mean_u"].append(None)
+                        rows["mean_v"].append(None)
+                    else:
+                        rows["mean_y"].append(float(means[fi, 0]))
+                        rows["mean_u"].append(float(means[fi, 1]))
+                        rows["mean_v"].append(float(means[fi, 2]))
             yield pd.DataFrame(rows)
 
     return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)

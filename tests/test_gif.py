@@ -90,3 +90,19 @@ def test_decode_images_gif_matches_formula(spark, sf_dir):
         for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
             v = (idx * p + ch * q + r) % 256
             assert row[col] == v.mean(), (row["url"], col)
+
+
+def test_decoder_truncation_raises_valueerror_not_indexerror():
+    """Cut anywhere, the decoder must fail with the documented
+    ValueError family (strict decode_images surfaces it verbatim)."""
+    idx = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    pal = np.arange(256 * 3, dtype=np.uint32).astype(np.uint8) \
+        .reshape(256, 3)
+    data = G.encode_gif(idx, pal)
+    at = data.find(b"\x2C")
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    data = data[:at] + gce + data[at:]
+    for cut in (7, 12, at - 1, at + 3, at + 11, len(data) // 2,
+                len(data) - 2):
+        with pytest.raises(ValueError):
+            G.decode_gif(data[:cut])

@@ -113,3 +113,51 @@ def test_flagship_stream_matches_batch(spark, sf_dir, tmp_path):
     assert emitted.count() == expected.count() > 0
     assert emitted.exceptAll(expected).count() == 0
     assert expected.exceptAll(emitted).count() == 0
+
+
+def test_flagship_stream_long_span_flush(spark, tmp_path):
+    """Regression: flush rows anchored to max(warc_ts) (not a fixed
+    offset from an arbitrary row) must finalize EVERY real window even
+    when the data span exceeds any fixed offset — here 30 hours of
+    events vs 1-hour windows."""
+    from geotiff_processor_spark.functions.geo import sql_tile_x, sql_tile_y
+    from geotiff_processor_spark.operators import pip
+
+    src = str(tmp_path / "lsrc")
+    out = str(tmp_path / "lout")
+    ckpt = str(tmp_path / "lckpt")
+    base = synth.build_pages(spark, "/root/testdata/sf0.001",
+                             with_html=False).limit(60)
+    # spread the 60 pages over 30 hours (one every 30 min)
+    pages = base.withColumn(
+        "warc_ts",
+        F.expr("timestamp '2025-01-01 00:00:00'"
+               " + make_interval(0, 0, 0, 0, 0, 30 * "
+               "(row_number() over (order by url) - 1), 0)"))
+    pages.coalesce(1).write.mode("append").parquet(src)
+    max_real = pages.agg(F.max("warc_ts")).first()[0]
+    flush = pages.limit(1)
+    for hours in (12, 24):
+        flush.withColumn(
+            "warc_ts", F.lit(max_real) + F.expr(f"INTERVAL {hours} HOURS")
+        ).coalesce(1).write.mode("append").parquet(src)
+    ingest.flagship_stream(spark, src, out, ckpt,
+                           window="1 hour", watermark="2 minutes")
+    emitted = (spark.read.parquet(out)
+               .filter(F.col("window_start") <= F.lit(max_real)))
+    asg = pip.pip_join(synth.geocode(pages), pip.build_cover_table(spark))
+    expected = (
+        asg.withColumn("tile_x", F.expr(sql_tile_x("lonm", 6)))
+        .withColumn("tile_y", F.expr(sql_tile_y("lat", 6)))
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"),
+                 "polygon_id", "zone", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum(F.length("text")).alias("n_bytes"))
+        .select(F.col("w.start").alias("window_start"), "polygon_id",
+                "zone", "tile_x", "tile_y", "n_pages", "n_bytes")
+    )
+    # the LAST real window (containing max_real) finalizes too: its end
+    # is max_real-aligned + 1h <= the +12h flush watermark
+    assert emitted.count() == expected.count() > 0
+    assert emitted.exceptAll(expected).count() == 0
+    assert expected.exceptAll(emitted).count() == 0

@@ -97,3 +97,20 @@ def test_y4m_roundtrip_property(f, h, w, mono, fps_num):
     ww, hh, fps, back = decode_y4m(encode_y4m(fr, (fps_num, 1)))
     assert (ww, hh, fps) == (w, h, (fps_num, 1))
     assert np.array_equal(back, fr)
+
+
+def test_decode_video_mono_payloads(spark):
+    """Cmono streams (a format the codec supports) must decode to
+    luma-only rows, not crash the executor (regression: means indexing
+    assumed 3 planes)."""
+    import pandas as pd
+    from geotiff_processor_spark.functions.y4m import encode_y4m
+    fr = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    pdf = pd.DataFrame({"url": ["m1"], "y4m": [encode_y4m(fr)]})
+    df = spark.createDataFrame(pdf)
+    rows = multimodal.decode_video(df, payload_col="y4m",
+                                   key_col="url", every=1).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["mean_y"] == fr[r["frame_idx"]].mean()
+        assert r["mean_u"] is None and r["mean_v"] is None
