@@ -123,8 +123,12 @@ def decode_gif(data: bytes) -> np.ndarray:
             # single-frame contract: the first image block IS the
             # picture (left/top offsets compose multi-frame GIFs only)
             del left, top, w, he
-            idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
-            return gct[np.asarray(idx, np.int32)].reshape(ih, iw, 3)
+            idx = np.asarray(_lzw_decode(bytes(lzw), min_code, iw * ih),
+                             np.int32)
+            if idx.size and int(idx.max()) >= len(gct):
+                raise ValueError("corrupt LZW stream: palette index "
+                                 "beyond global color table")
+            return gct[idx].reshape(ih, iw, 3)
         elif b == 0x3B:
             break
         else:
@@ -161,6 +165,8 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
             if code == end:
                 return out
             if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt LZW stream")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]

@@ -11,14 +11,18 @@ native codecs may not be installable.
 
 Supported (documented limits, like the PNG codec's):
 - baseline sequential DCT (SOF0), 8-bit samples
-- 1 (grayscale) or 3 (YCbCr) components, NO chroma subsampling (all
-  sampling factors 1x1)
+- 1 (grayscale) or 3 (YCbCr) components
+- chroma subsampling: sampling factors 1 or 2 per axis via the general
+  MCU-interleaved scan — 4:4:4, 4:2:0 (the overwhelmingly common crawl
+  layout) and 4:2:2 all decode; subsampled chroma upsamples by sample
+  replication (exact for block-constant payloads, so 4:2:0 streams
+  stay end-to-end oracle-checkable)
 - no restart intervals, no progressive/arithmetic coding
 
 The encoder writes its huffman and quantization tables into DHT/DQT
 markers, so any spec-conforming decoder reads its output; the decoder
 builds tables from the file's own markers, so it reads any conforming
-baseline 4:4:4 stream, not just this encoder's.
+baseline stream with sampling factors <= 2, not just this encoder's.
 
 Exactness contract used by the oracle-checked ``decode_jpeg`` query:
 an 8x8 block that is CONSTANT in a channel has only a DC coefficient
@@ -288,20 +292,45 @@ def _extend(bits: int, t: int) -> int:
 # encoder
 # ---------------------------------------------------------------------------
 
-def encode_jpeg_planes(planes: list[np.ndarray]) -> bytes:
-    """Encode component planes (each (h, w) uint8; 1 = grayscale,
-    3 = YCbCr — NO RGB conversion here, so callers planting exact
-    payloads control the YCbCr samples bit-for-bit). h and w must be
-    multiples of 8 (no edge-replication needed for the synth path)."""
+SUBSAMPLE_FACTORS = {
+    # per-component (h_i, v_i) sampling factors, luma first
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def encode_jpeg_planes(planes: list[np.ndarray],
+                       subsample: str = "444") -> bytes:
+    """Encode component planes (1 = grayscale, 3 = YCbCr — NO RGB
+    conversion here, so callers planting exact payloads control the
+    YCbCr samples bit-for-bit).
+
+    ``subsample``: '444' (all planes (h, w)), '422' (chroma already
+    (h, w/2)) or '420' (chroma already (h/2, w/2)) — the caller
+    supplies chroma at its stored resolution, this function never
+    resamples. Luma (h, w) must be a multiple of the MCU size
+    (8 x factor per axis: 8 for 444, 16x8 for 422, 16x16 for 420)."""
     if len(planes) not in (1, 3):
         raise ValueError("1 or 3 component planes")
-    h, w = planes[0].shape
-    if h % 8 or w % 8:
-        raise ValueError("dimensions must be multiples of 8")
-    for p in planes:
-        if p.shape != (h, w) or p.dtype != np.uint8:
-            raise ValueError("planes must share (h, w) and be uint8")
     nc = len(planes)
+    if subsample not in SUBSAMPLE_FACTORS:
+        raise ValueError(f"subsample must be one of "
+                         f"{sorted(SUBSAMPLE_FACTORS)}")
+    factors = [(1, 1)] if nc == 1 else list(SUBSAMPLE_FACTORS[subsample])
+    factors = factors[:nc]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    h, w = planes[0].shape
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError(
+            f"luma dimensions must be multiples of {8 * hmax}x{8 * vmax}"
+            f" for {subsample}")
+    for p, (hi, vi) in zip(planes, factors):
+        want = (h * vi // vmax, w * hi // hmax)
+        if p.shape != want or p.dtype != np.uint8:
+            raise ValueError(
+                f"plane must be uint8 of shape {want} for {subsample}")
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: one table, id 0, 8-bit precision, zigzag order
@@ -310,7 +339,8 @@ def encode_jpeg_planes(planes: list[np.ndarray]) -> bytes:
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for cid in range(1, nc + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+        hi, vi = factors[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)  # qtable 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC table 0 and AC table 0
     for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
@@ -328,44 +358,58 @@ def encode_jpeg_planes(planes: list[np.ndarray]) -> bytes:
     q = QTABLE.astype(np.float64)
     writer = _BitWriter()
     pred = [0] * nc
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    # MCU-interleaved scan (T.81 A.2.3): per MCU, component ci
+    # contributes v_i x h_i blocks in raster order
+    mcuy, mcux = h // (8 * vmax), w // (8 * hmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(nc):
-                block = planes[ci][by * 8:by * 8 + 8,
-                                   bx * 8:bx * 8 + 8].astype(np.float64)
-                coef = _C @ (block - 128.0) @ _C.T
-                zzc = np.array([coef[r, c] for r, c in ZIGZAG])
-                qc = np.floor(zzc / q + 0.5).astype(np.int64)
-                # DC
-                diff = int(qc[0]) - pred[ci]
-                pred[ci] = int(qc[0])
-                t, bits_v = _magnitude(diff)
-                code, ln = dc_enc[t]
-                writer.write(code, ln)
-                if t:
-                    writer.write(bits_v, t)
-                # AC with run-lengths
-                run = 0
-                for k in range(1, 64):
-                    v = int(qc[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_enc[0xF0]  # ZRL
-                        writer.write(code, ln)
-                        run -= 16
-                    t, bits_v = _magnitude(v)
-                    code, ln = ac_enc[(run << 4) | t]
-                    writer.write(code, ln)
-                    writer.write(bits_v, t)
-                    run = 0
-                if run:
-                    code, ln = ac_enc[0x00]  # EOB
-                    writer.write(code, ln)
+                hi, vi = factors[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        by, bx = my * vi + byi, mx * hi + bxi
+                        _encode_block(planes[ci], by, bx, ci, pred, q,
+                                      dc_enc, ac_enc, writer)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_block(plane: np.ndarray, by: int, bx: int, ci: int,
+                  pred: list[int], q: np.ndarray, dc_enc, ac_enc,
+                  writer: "_BitWriter") -> None:
+    block = plane[by * 8:by * 8 + 8,
+                  bx * 8:bx * 8 + 8].astype(np.float64)
+    coef = _C @ (block - 128.0) @ _C.T
+    zzc = np.array([coef[r, c] for r, c in ZIGZAG])
+    qc = np.floor(zzc / q + 0.5).astype(np.int64)
+    # DC
+    diff = int(qc[0]) - pred[ci]
+    pred[ci] = int(qc[0])
+    t, bits_v = _magnitude(diff)
+    code, ln = dc_enc[t]
+    writer.write(code, ln)
+    if t:
+        writer.write(bits_v, t)
+    # AC with run-lengths
+    run = 0
+    for k in range(1, 64):
+        v = int(qc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        t, bits_v = _magnitude(v)
+        code, ln = ac_enc[(run << 4) | t]
+        writer.write(code, ln)
+        writer.write(bits_v, t)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]  # EOB
+        writer.write(code, ln)
 
 
 # ---------------------------------------------------------------------------
@@ -373,15 +417,18 @@ def encode_jpeg_planes(planes: list[np.ndarray]) -> bytes:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline 4:4:4 JPEG to (h, w, 3) uint8 RGB (grayscale
-    replicates Y into all three channels). Raises on progressive,
-    subsampled, or restart-interval streams (documented limits)."""
+    """Decode a baseline JPEG (4:4:4, 4:2:2 or 4:2:0 — any sampling
+    factors <= 2) to (h, w, 3) uint8 RGB (grayscale replicates Y into
+    all three channels). Subsampled chroma upsamples by sample
+    replication. Raises on progressive or restart-interval streams
+    (documented limits)."""
     if bytes(data[:2]) != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    samps: list[tuple[int, int]] = []  # (h_i, v_i) sampling factors
     h = w = 0
     scan_map: list[tuple[int, int]] = []  # (dc table id, ac table id)
     n = len(data)
@@ -417,10 +464,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit, 1 or 3 components")
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)")
+                        "sampling factors beyond 2 unsupported")
                 comps.append((cid, tq))
+                samps.append((hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
@@ -441,57 +490,74 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS")
 
     nc = len(comps)
-    if h % 8 or w % 8:
-        raise ValueError("non-multiple-of-8 dimensions unsupported")
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dimensions must be multiples of the MCU size")
     reader = _BitReader(data, pos)
-    nby, nbx = h // 8, w // 8
-    # zigzag coefficients accumulate in a flat (nc, nblocks, 64) array
-    # (one python-list write per nonzero coefficient); the de-zigzag is
-    # ONE fancy-index scatter for the whole image, not a 64-iteration
-    # python loop per block
-    zz = np.zeros((nc, nby * nbx, 64), np.int64)
+    mcuy, mcux = h // (8 * vmax), w // (8 * hmax)
+    # per-component block grid (component-resolution raster of 8x8
+    # blocks); zigzag coefficients accumulate in flat (nblocks, 64)
+    # arrays (one python-list write per nonzero coefficient); the
+    # de-zigzag is ONE fancy-index scatter per component, not a
+    # 64-iteration python loop per block
+    grids = [(mcuy * vi, mcux * hi) for hi, vi in samps]
+    zz = [np.zeros((gh * gw, 64), np.int64) for gh, gw in grids]
     tabs = [(htables[(0, dct)], htables[(1, act)],
              qtables[comps[ci][1]])
             for ci, (dct, act) in enumerate(scan_map)]
     pred = [0] * nc
     read_symbol = reader.read_symbol
     read_bits = reader.read_bits
-    for b in range(nby * nbx):
-        for ci in range(nc):
-            dc_tab, ac_tab, _q = tabs[ci]
-            t = read_symbol(dc_tab)
-            diff = _extend(read_bits(t), t)
-            pred[ci] += diff
-            block = [0] * 64
-            block[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = read_symbol(ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                s = rs & 0xF
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                block[k] = _extend(read_bits(s), s)
-                k += 1
-            zz[ci, b] = block
-    coefs = np.zeros((nc, nby * nbx, 8, 8), np.float64)
+    # MCU-interleaved scan (T.81 A.2.3): per MCU, component ci
+    # contributes v_i x h_i blocks in raster order
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hi, vi = samps[ci]
+                dc_tab, ac_tab, _q = tabs[ci]
+                gw = grids[ci][1]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        b = (my * vi + byi) * gw + (mx * hi + bxi)
+                        t = read_symbol(dc_tab)
+                        diff = _extend(read_bits(t), t)
+                        pred[ci] += diff
+                        block = [0] * 64
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 0xF
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            block[k] = _extend(read_bits(s), s)
+                            k += 1
+                        zz[ci][b] = block
     zz_r = np.array([r for r, _ in ZIGZAG])
     zz_c = np.array([c for _, c in ZIGZAG])
-    qs = np.stack([q for _, _, q in tabs])  # (nc, 64) zigzag-order
-    coefs[:, :, zz_r, zz_c] = zz * qs[:, None, :]
-    # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
-    spatial = np.einsum("ur,nbuv,vc->nbrc", _C, coefs, _C) + 128.0
-    samples = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
     planes = []
     for ci in range(nc):
-        plane = samples[ci].reshape(nby, nbx, 8, 8) \
-            .transpose(0, 2, 1, 3).reshape(h, w)
-        planes.append(plane)
+        gh, gw = grids[ci]
+        coefs = np.zeros((gh * gw, 8, 8), np.float64)
+        coefs[:, zz_r, zz_c] = zz[ci] * tabs[ci][2][None, :]
+        # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
+        spatial = np.einsum("ur,buv,vc->brc", _C, coefs, _C) + 128.0
+        samples = np.clip(np.floor(spatial + 0.5), 0, 255) \
+            .astype(np.uint8)
+        plane = samples.reshape(gh, gw, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        hi, vi = samps[ci]
+        if (hi, vi) != (hmax, vmax):  # upsample by sample replication
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
     if nc == 1:
         g = planes[0]
         return np.stack([g, g, g], axis=-1)

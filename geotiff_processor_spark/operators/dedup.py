@@ -393,23 +393,32 @@ def line_dedup(docs: DataFrame, key_col: str = "doc_id",
     sides hash-partitioned the same way, AQE handles skewed boilerplate
     digests), (3) the per-doc rollup. At 10^12 docs the digest table is
     the dedup state; nothing is ever collected to the driver.
+
+    The document is tokenized ONCE (a dedicated projection Catalyst
+    keeps, since ``split`` is non-cheap) and every span slices the
+    shared token array — O(tokens) map work per doc, not
+    O(spans x tokens) (plan-pinned: tests/test_plans.py single-split
+    assertion).
     """
-    toks = F.split(F.col(text_col), " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)),
+    pre = docs.select(key_col, F.split(F.col(text_col), " ").alias("_a"))
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size("_a") - 1, F.lit(0)),
                         F.lit(width))
-    spans = docs.select(
-        key_col, F.explode(starts).alias("_s"),
-        F.col(text_col).alias("_t"))
-    occ = spans.select(
-        key_col,
-        (F.col("_s") / width).cast("bigint").alias("span_idx"),
-        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("_t"), " "),
-                                       F.col("_s") + 1, F.lit(width))))
-        .alias("sh"),
-        F.length(F.concat_ws(" ", F.slice(F.split(F.col("_t"), " "),
-                                          F.col("_s") + 1, F.lit(width))))
-        .cast("bigint").alias("sl"),
-    )
+    span_structs = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / width).cast("bigint").alias("i"),
+            F.concat_ws(" ", F.slice(F.col("_a"), s + F.lit(1),
+                                     F.lit(width))).alias("t"),
+        ))
+    occ = (
+        pre.select(key_col, F.explode(span_structs).alias("_sp"))
+        .select(
+            key_col,
+            F.col("_sp.i").alias("span_idx"),
+            F.md5("_sp.t").alias("sh"),
+            F.length("_sp.t").cast("bigint").alias("sl"),
+        ))
     stats = occ.groupBy("sh").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct(key_col, "span_idx")).alias("first"),

@@ -16,21 +16,39 @@ splitting (session.py).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def salted_counts(df: DataFrame, key_col: str, n_salts: int = 16,
+def salted_counts(df: DataFrame, key_col: str, spread_col: str,
+                  n_salts: int = 16,
                   weight_col: str | None = None) -> DataFrame:
     """groupBy(key) count/sum with a salt pre-aggregation.
 
-    Salt = a cheap deterministic spreader (hash of a high-cardinality
-    sibling column mod n_salts) so the pre-aggregation is reproducible.
+    Salt = a cheap deterministic spreader: hash of ``spread_col`` (an
+    EXPLICIT high-cardinality sibling column, e.g. ``url``) mod
+    ``n_salts``, so the pre-aggregation is reproducible. The spreader
+    is a required argument because a silently-picked low-cardinality
+    column (e.g. ``lang``) would spread each hot key over at most
+    |distinct values| reducers, defeating the salting.
     """
+    if spread_col == key_col:
+        raise ValueError(
+            "spread_col must differ from key_col: hashing the group key "
+            "yields ONE salt per key and spreads nothing")
+    if spread_col not in df.columns:
+        raise ValueError(f"spread_col {spread_col!r} not in {df.columns}")
+    dtype = df.schema[spread_col].dataType
+    if isinstance(dtype, T.BooleanType):
+        warnings.warn(
+            f"spread_col {spread_col!r} is boolean (cardinality <= 2): "
+            f"hot keys will spread over at most 2 of {n_salts} salts",
+            stacklevel=2)
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[c for c in df.columns
-                                     if c != key_col][:1]),
-                        F.lit(n_salts)))
+        "_salt", F.pmod(F.xxhash64(spread_col), F.lit(n_salts)))
     aggs = [F.count(F.lit(1)).alias("_n")]
     if weight_col is not None:
         aggs.append(F.sum(weight_col).alias("_w"))

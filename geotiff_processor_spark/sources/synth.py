@@ -698,13 +698,29 @@ def sql_jpeg_plane(channel: int) -> str:
     return f"((i * {ci} + bx * {cx} + by * {cy}) % 256)"
 
 
+def sql_jpeg_plane_sub(channel: int) -> str:
+    """The 4:2:0 chroma value seen at LUMA block (bx, by): the chroma
+    plane stores one block per 2x2 luma blocks, constant at the formula
+    evaluated at the chroma-block coordinates (bx//2, by//2); nearest
+    upsampling replicates it across the quad (DuckDB dialect)."""
+    ci, cx, cy = JPEG_YCBCR_COEFS[channel]
+    return (f"((i * {ci} + (bx // 2) * {cx} + (by // 2) * {cy})"
+            f" % 256)")
+
+
 def build_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, jpg) — jpg is a REAL 16x16 baseline JPEG (functions/jpeg
     encoder) whose 8x8 blocks are constant YCbCr values derived from
     the event id, making the decode chain end-to-end oracle-checkable
     the same way build_media does for PNG: DuckDB recomputes the RGB
     means from the formula while the engine actually entropy-decodes,
-    dequantizes, IDCTs and color-converts the bytes."""
+    dequantizes, IDCTs and color-converts the bytes.
+
+    ODD event ids encode as 4:2:0 (chroma stored at half resolution,
+    block-constant at the chroma grid, so the replication upsample is
+    exact and the oracle evaluates the chroma formula at (bx//2,
+    by//2)); even ids stay 4:4:4 — the corpus mixes the two layouts a
+    real crawl actually contains."""
     import os
 
     import numpy as np
@@ -717,20 +733,29 @@ def build_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr(SQL_URL).alias("url"))
     nb = JPEG_SIZE // 8
 
+    def _plane(i: int, channel: int, n_blocks: int) -> np.ndarray:
+        ci, cx, cy = JPEG_YCBCR_COEFS[channel]
+        plane = np.zeros((n_blocks * 8, n_blocks * 8), np.uint8)
+        for by in range(n_blocks):
+            for bx in range(n_blocks):
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    (i * ci + bx * cx + by * cy) % 256
+        return plane
+
     def gen(batches):
         for pdf in batches:
             payloads = []
             for i in pdf["i"].to_numpy(np.int64):
-                planes = []
-                for ci, cx, cy in JPEG_YCBCR_COEFS:
-                    plane = np.zeros((JPEG_SIZE, JPEG_SIZE), np.uint8)
-                    for by in range(nb):
-                        for bx in range(nb):
-                            v = (int(i) * ci + bx * cx + by * cy) % 256
-                            plane[by * 8:by * 8 + 8,
-                                  bx * 8:bx * 8 + 8] = v
-                    planes.append(plane)
-                payloads.append(encode_jpeg_planes(planes))
+                i = int(i)
+                if i % 2:  # 4:2:0 — chroma at half resolution
+                    planes = [_plane(i, 0, nb),
+                              _plane(i, 1, nb // 2),
+                              _plane(i, 2, nb // 2)]
+                    payloads.append(
+                        encode_jpeg_planes(planes, subsample="420"))
+                else:
+                    planes = [_plane(i, c, nb) for c in range(3)]
+                    payloads.append(encode_jpeg_planes(planes))
             yield pd.DataFrame({"url": pdf["url"], "jpg": payloads})
 
     return base.mapInPandas(gen, "url string, jpg binary")
@@ -753,7 +778,7 @@ def build_media_jpeg_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = os.stat(p)
         fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.sha256(
-        f"{sf_dir}|media_jpeg|{';'.join(fps)}|v1".encode()).hexdigest()[:16]
+        f"{sf_dir}|media_jpeg|{';'.join(fps)}|v2".encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"gps_mjpeg_{key}.parquet")
     if not os.path.exists(path):
         tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"

@@ -64,6 +64,69 @@ def test_gradient_multiblock_dc_prediction():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
 
 
+def test_420_constant_blocks_roundtrip_bit_exact():
+    """4:2:0: chroma stored at half resolution, block-constant, MCU-
+    interleaved scan; replication upsample makes the round trip exact —
+    the contract the mixed-layout decode_jpeg oracle relies on."""
+    for seed in (1, 33, 255):
+        y = _const_planes(
+            lambda ci, by, bx: seed * 7 + by * 17 + bx * 31, 16)[0]
+        cb = np.full((8, 8), (seed * 11) % 256, np.uint8)
+        cr = np.full((8, 8), (seed * 13) % 256, np.uint8)
+        rgb = J.decode_jpeg(
+            J.encode_jpeg_planes([y, cb, cr], subsample="420"))
+        exp = J.ycbcr_to_rgb(y,
+                             np.repeat(np.repeat(cb, 2, 0), 2, 1),
+                             np.repeat(np.repeat(cr, 2, 0), 2, 1))
+        assert (rgb == exp).all(), seed
+
+
+def test_422_constant_blocks_roundtrip_bit_exact():
+    """4:2:2 (chroma halved horizontally only) via the same general
+    MCU path."""
+    y = _const_planes(lambda ci, by, bx: by * 19 + bx * 23, 32)[0]
+    cb = np.zeros((32, 16), np.uint8)
+    cr = np.zeros((32, 16), np.uint8)
+    for by in range(4):
+        for bx in range(2):
+            cb[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                (77 + bx * 13 + by * 19) % 256
+            cr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                (31 + bx * 23 + by * 29) % 256
+    rgb = J.decode_jpeg(J.encode_jpeg_planes([y, cb, cr],
+                                             subsample="422"))
+    exp = J.ycbcr_to_rgb(y, np.repeat(cb, 2, 1), np.repeat(cr, 2, 1))
+    assert (rgb == exp).all()
+
+
+def test_420_general_content_bounded():
+    """Arbitrary 4:2:0 content stays within the quantization bound."""
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (32, 32), np.uint8)
+    cb = rng.integers(0, 256, (16, 16), np.uint8)
+    cr = rng.integers(0, 256, (16, 16), np.uint8)
+    rgb = J.decode_jpeg(J.encode_jpeg_planes([y, cb, cr],
+                                             subsample="420"))
+    exp = J.ycbcr_to_rgb(y,
+                         np.repeat(np.repeat(cb, 2, 0), 2, 1),
+                         np.repeat(np.repeat(cr, 2, 0), 2, 1))
+    assert rgb.shape == (32, 32, 3)
+    assert np.abs(rgb.astype(int) - exp.astype(int)).max() <= 32
+
+
+def test_encoder_validates_subsampled_shapes():
+    y = np.zeros((16, 16), np.uint8)
+    with pytest.raises(ValueError, match="shape"):
+        J.encode_jpeg_planes([y, y, y], subsample="420")
+    with pytest.raises(ValueError, match="subsample"):
+        J.encode_jpeg_planes([y, y, y], subsample="411")
+    with pytest.raises(ValueError, match="multiples"):
+        J.encode_jpeg_planes([np.zeros((8, 8), np.uint8),
+                              np.zeros((4, 4), np.uint8),
+                              np.zeros((4, 4), np.uint8)],
+                             subsample="420")
+
+
 def test_decoder_rejects_unsupported():
     planes = _const_planes(lambda ci, by, bx: 100)
     data = bytearray(J.encode_jpeg_planes(planes))
@@ -113,9 +176,14 @@ def test_spark_means_match_formula(spark, sf_dir):
         rs = []
         for by in range(nb):
             for bx in range(nb):
+                # odd ids are 4:2:0: chroma replicates from the
+                # half-resolution block grid (bx//2, by//2)
+                cbx, cby = (bx // 2, by // 2) if i % 2 else (bx, by)
+                coords = [(bx, by), (cbx, cby), (cbx, cby)]
                 y, cb, cr = (
-                    (i * c0 + bx * c1 + by * c2) % 256
-                    for c0, c1, c2 in synth.JPEG_YCBCR_COEFS)
+                    (i * c0 + cx * c1 + cy * c2) % 256
+                    for (c0, c1, c2), (cx, cy)
+                    in zip(synth.JPEG_YCBCR_COEFS, coords))
                 rgb = J.ycbcr_to_rgb(
                     np.array([[y]]), np.array([[cb]]), np.array([[cr]]))
                 rs.append(rgb[0, 0])

@@ -165,6 +165,12 @@ def test_line_dedup_span_text_never_shuffles(spark, sf_dir):
         assert " text#" not in ex.group(1)
         assert " _t#" not in ex.group(1)
     assert "EvalPython" not in plan
+    # each document is tokenized ONCE per scan branch: exactly one
+    # split() per FileScan (spans slice the shared token array), so the
+    # map stage is O(tokens) per doc, not O(spans x tokens) — the old
+    # shape re-split the full text inside every exploded span row
+    n_scans = plan.count("FileScan parquet")
+    assert plan.count("split(text") == n_scans, plan[:3000]
 
 
 def test_vocab_topk_uses_topk_not_global_sort(spark, sf_dir):
