@@ -852,6 +852,27 @@ def q_reproject_utm(spark, sf_dir):
     return R.reproject_utm(src, "e_utm", "n_utm", zone=21, south=True)
 
 
+def q_reproject_gda94(spark, sf_dir):
+    """Non-WGS84 datum path: the SAME Krueger series carrying GRS80
+    ellipsoid constants (ETRS89/GDA94/NAD83 family) behind the EPSG
+    dispatcher — EPSG:28355 = GDA94 / MGA zone 55 (southern grid).
+    The oracle inlines the GRS80 constant set, so the hash match
+    proves both engines run the parameterized-ellipsoid series, not
+    the WGS84 one (reference analog: accept-any-EPSG ingest,
+    helpers.py:45-48). Native expressions only."""
+    import os
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = events.select(F.col("event_id").alias("i")).select(
+        F.expr(synth.SQL_URL).alias("url"),
+        F.expr(f"cast({R.SQL_UTM_EASTING} as bigint)").alias("e_utm"),
+        F.expr(f"cast({R.SQL_UTM_NORTHING} as bigint)").alias("n_utm"),
+    )
+    return R.reproject_epsg(src, 28355, "e_utm", "n_utm")
+
+
 def q_reproject_lcc(spark, sf_dir):
     """Arbitrary-CRS ingest, second family: Lambert conformal conic
     (South America 2-parallel cone) metres -> lon/lat via the
@@ -1255,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_audio": q_decode_audio,
         "decode_images": q_decode_images,
         "reproject_ps": q_reproject_ps,
+        "reproject_gda94": q_reproject_gda94,
         "reproject_merc": q_reproject_merc,
         "terrarium_encode": q_terrarium_encode,
         "knn_cell_prefix": q_knn_cell_prefix,
@@ -1815,6 +1837,16 @@ u0 AS (
   FROM p0
 ),
 {R.utm_inverse_cte('u0', ['url'], zone=21, south=True)}
+SELECT url, e_utm, n_utm, lon, lat FROM utm_ll"""
+
+    sql["reproject_gda94"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
+u0 AS (
+  SELECT {synth.SQL_URL} AS url,
+    cast({R.SQL_UTM_EASTING} as bigint) AS e_utm,
+    cast({R.SQL_UTM_NORTHING} as bigint) AS n_utm
+  FROM p0
+),
+{R.utm_inverse_cte('u0', ['url'], zone=55, south=True, ell=R.GRS80_ELL)}
 SELECT url, e_utm, n_utm, lon, lat FROM utm_ll"""
 
     sql["reproject_lcc"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),

@@ -38,35 +38,68 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# WGS84 ellipsoid / UTM grid constants
-A_WGS84 = 6378137.0
-F_WGS84 = 1.0 / 298.257223563
+# UTM grid constants (shared by every ellipsoid)
 K0 = 0.9996
 E0 = 500000.0  # false easting
 
-_N = F_WGS84 / (2.0 - F_WGS84)  # third flattening
-# rectifying radius A = a/(1+n) * (1 + n^2/4 + n^4/64)
-A_RECT = A_WGS84 / (1.0 + _N) * (1.0 + _N ** 2 / 4.0 + _N ** 4 / 64.0)
-K0A = K0 * A_RECT
 
-# Krueger series, truncated at n^3 (public formulation; e.g. Karney 2011
-# "Transverse Mercator with an accuracy of a few nanometers", eqs 21-26,
-# or the standard survey-handbook coefficients)
-BETA = (  # inverse: (xi, eta) -> (xi', eta')
-    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 37.0 * _N ** 3 / 96.0,
-    _N ** 2 / 48.0 + _N ** 3 / 15.0,
-    17.0 * _N ** 3 / 480.0,
-)
-DELTA = (  # inverse: conformal lat chi -> geographic lat phi
-    2.0 * _N - 2.0 * _N ** 2 / 3.0 - 2.0 * _N ** 3,
-    7.0 * _N ** 2 / 3.0 - 8.0 * _N ** 3 / 5.0,
-    56.0 * _N ** 3 / 15.0,
-)
-ALPHA = (  # forward (numpy/test side only)
-    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 5.0 * _N ** 3 / 16.0,
-    13.0 * _N ** 2 / 48.0 - 3.0 * _N ** 3 / 5.0,
-    61.0 * _N ** 3 / 240.0,
-)
+class TMEllipsoid:
+    """Krueger-series constants for one ellipsoid (a, 1/f).
+
+    The series coefficients (Karney 2011 "Transverse Mercator with an
+    accuracy of a few nanometers", eqs 21-26, truncated at n^3 — public
+    formulation) depend only on the third flattening n, so a datum
+    family (WGS84 vs GRS80: ETRS89/GDA94/NAD83) is exactly a different
+    constant set feeding the SAME formula text. Instances are
+    plan-build-time only; every value inlines into SQL via repr."""
+
+    def __init__(self, name: str, a: float, inv_f: float) -> None:
+        self.name = name
+        self.a = a
+        self.inv_f = inv_f
+        f = 1.0 / inv_f
+        n = f / (2.0 - f)  # third flattening
+        self.n = n
+        # rectifying radius A = a/(1+n) * (1 + n^2/4 + n^4/64)
+        self.a_rect = a / (1.0 + n) * (1.0 + n ** 2 / 4.0
+                                       + n ** 4 / 64.0)
+        self.k0a = K0 * self.a_rect
+        self.beta = (  # inverse: (xi, eta) -> (xi', eta')
+            n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0,
+            n ** 2 / 48.0 + n ** 3 / 15.0,
+            17.0 * n ** 3 / 480.0,
+        )
+        self.delta = (  # inverse: conformal lat chi -> geographic phi
+            2.0 * n - 2.0 * n ** 2 / 3.0 - 2.0 * n ** 3,
+            7.0 * n ** 2 / 3.0 - 8.0 * n ** 3 / 5.0,
+            56.0 * n ** 3 / 15.0,
+        )
+        self.alpha = (  # forward (numpy/test side only)
+            n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0,
+            13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0,
+            61.0 * n ** 3 / 240.0,
+        )
+
+
+WGS84_ELL = TMEllipsoid("WGS84", 6378137.0, 298.257223563)
+# GRS80 carries ETRS89 (EU), GDA94/GDA2020 (AU) and NAD83 (US/CA) —
+# same semi-major axis as WGS84, 1/f differs in the 9th digit
+# (EPSG:7019 registry values, public)
+GRS80_ELL = TMEllipsoid("GRS80", 6378137.0, 298.257222101)
+# International 1924 (Hayford) carries ED50 (legacy European mapping;
+# EPSG:7022) — a differs from WGS84 by 251 m, so this family is the
+# test that the ellipsoid parameter is genuinely load-bearing
+INTL1924_ELL = TMEllipsoid("International 1924", 6378388.0, 297.0)
+
+# legacy module-level aliases (WGS84) — keep existing import sites valid
+A_WGS84 = WGS84_ELL.a
+F_WGS84 = 1.0 / WGS84_ELL.inv_f
+_N = WGS84_ELL.n
+A_RECT = WGS84_ELL.a_rect
+K0A = WGS84_ELL.k0a
+BETA = WGS84_ELL.beta
+DELTA = WGS84_ELL.delta
+ALPHA = WGS84_ELL.alpha
 
 RAD2DEG = 180.0 / math.pi
 
@@ -99,29 +132,33 @@ def _sql_cosh(x: str) -> str:
     return f"((exp({x}) + exp(-({x}))) / 2)"
 
 
-def sql_utm_xi(northing: str, south: bool = True) -> str:
+def sql_utm_xi(northing: str, south: bool = True,
+               ell: TMEllipsoid = WGS84_ELL) -> str:
     """Normalized northing xi = (N - N0) / (k0 * A)."""
-    return f"(({northing} - {_d(utm_false_northing(south))}) / {_d(K0A)})"
+    return (f"(({northing} - {_d(utm_false_northing(south))})"
+            f" / {_d(ell.k0a)})")
 
 
-def sql_utm_eta(easting: str) -> str:
+def sql_utm_eta(easting: str, ell: TMEllipsoid = WGS84_ELL) -> str:
     """Normalized easting eta = (E - E0) / (k0 * A)."""
-    return f"(({easting} - {_d(E0)}) / {_d(K0A)})"
+    return f"(({easting} - {_d(E0)}) / {_d(ell.k0a)})"
 
 
-def sql_utm_xip(xi: str, eta: str) -> str:
+def sql_utm_xip(xi: str, eta: str,
+                ell: TMEllipsoid = WGS84_ELL) -> str:
     """xi' = xi - sum_j beta_j sin(2j xi) cosh(2j eta)."""
     terms = " + ".join(
         f"{_d(b)} * sin({2 * j} * {xi}) * {_sql_cosh(f'{2 * j} * {eta}')}"
-        for j, b in enumerate(BETA, start=1))
+        for j, b in enumerate(ell.beta, start=1))
     return f"({xi} - ({terms}))"
 
 
-def sql_utm_etap(xi: str, eta: str) -> str:
+def sql_utm_etap(xi: str, eta: str,
+                 ell: TMEllipsoid = WGS84_ELL) -> str:
     """eta' = eta - sum_j beta_j cos(2j xi) sinh(2j eta)."""
     terms = " + ".join(
         f"{_d(b)} * cos({2 * j} * {xi}) * {_sql_sinh(f'{2 * j} * {eta}')}"
-        for j, b in enumerate(BETA, start=1))
+        for j, b in enumerate(ell.beta, start=1))
     return f"({eta} - ({terms}))"
 
 
@@ -130,11 +167,11 @@ def sql_utm_chi(xip: str, etap: str) -> str:
     return f"asin(sin({xip}) / {_sql_cosh(etap)})"
 
 
-def sql_utm_lat(chi: str) -> str:
+def sql_utm_lat(chi: str, ell: TMEllipsoid = WGS84_ELL) -> str:
     """Geographic latitude, degrees (unrounded)."""
     series = " + ".join(
         f"{_d(d)} * sin({2 * j} * {chi})"
-        for j, d in enumerate(DELTA, start=1))
+        for j, d in enumerate(ell.delta, start=1))
     return f"(({chi} + {series}) * {_d(RAD2DEG)})"
 
 
@@ -147,7 +184,8 @@ def sql_utm_lon(xip: str, etap: str, zone: int) -> str:
 def utm_inverse_cte(src: str, id_cols: list[str],
                     easting: str = "e_utm", northing: str = "n_utm",
                     zone: int = 21, south: bool = True,
-                    round_digits: int = 6) -> str:
+                    round_digits: int = 6,
+                    ell: TMEllipsoid = WGS84_ELL) -> str:
     """CTE chain ``u1 .. utm_ll``: UTM coords in `src` -> lon/lat degrees.
 
     Identical text runs in Spark SQL and DuckDB; rounding to
@@ -158,14 +196,14 @@ def utm_inverse_cte(src: str, id_cols: list[str],
     ids = ", ".join(id_cols)
     return f"""u1 AS (
   SELECT {ids}, {easting}, {northing},
-    {sql_utm_xi(northing, south)} AS xi,
-    {sql_utm_eta(easting)} AS eta
+    {sql_utm_xi(northing, south, ell)} AS xi,
+    {sql_utm_eta(easting, ell)} AS eta
   FROM {src}
 ),
 u2 AS (
   SELECT {ids}, {easting}, {northing},
-    {sql_utm_xip('xi', 'eta')} AS xip,
-    {sql_utm_etap('xi', 'eta')} AS etap
+    {sql_utm_xip('xi', 'eta', ell)} AS xip,
+    {sql_utm_etap('xi', 'eta', ell)} AS etap
   FROM u1
 ),
 u3 AS (
@@ -176,7 +214,7 @@ u3 AS (
 utm_ll AS (
   SELECT {ids}, {easting}, {northing},
     round({sql_utm_lon('xip', 'etap', zone)}, {round_digits}) AS lon,
-    round({sql_utm_lat('chi')}, {round_digits}) AS lat
+    round({sql_utm_lat('chi', ell)}, {round_digits}) AS lat
   FROM u3
 )"""
 
@@ -195,25 +233,28 @@ SQL_UTM_NORTHING = "(4000000 + (i * 104729) % 5000000)"
 def reproject_utm(df: DataFrame, easting: str = "e_utm",
                   northing: str = "n_utm", zone: int = 21,
                   south: bool = True,
-                  round_digits: int = 6) -> DataFrame:
+                  round_digits: int = 6,
+                  ell: TMEllipsoid = WGS84_ELL) -> DataFrame:
     """Append lon/lat (degrees, rounded) to a DataFrame of UTM coords.
 
     Stages mirror `utm_inverse_cte` exactly (same expression text per
     stage) so the operator and the oracle evaluate the same double
-    operations in the same order.
+    operations in the same order. ``ell`` picks the datum family
+    (WGS84 default; GRS80_ELL for ETRS89/GDA94/NAD83 grids).
     """
     return (
-        df.withColumn("xi", F.expr(sql_utm_xi(northing, south)))
-        .withColumn("eta", F.expr(sql_utm_eta(easting)))
-        .withColumn("xip", F.expr(sql_utm_xip("xi", "eta")))
-        .withColumn("etap", F.expr(sql_utm_etap("xi", "eta")))
+        df.withColumn("xi", F.expr(sql_utm_xi(northing, south, ell)))
+        .withColumn("eta", F.expr(sql_utm_eta(easting, ell)))
+        .withColumn("xip", F.expr(sql_utm_xip("xi", "eta", ell)))
+        .withColumn("etap", F.expr(sql_utm_etap("xi", "eta", ell)))
         .withColumn("chi", F.expr(sql_utm_chi("xip", "etap")))
         .withColumn(
             "lon",
             F.expr(f"round({sql_utm_lon('xip', 'etap', zone)},"
                    f" {round_digits})"))
         .withColumn(
-            "lat", F.expr(f"round({sql_utm_lat('chi')}, {round_digits})"))
+            "lat", F.expr(f"round({sql_utm_lat('chi', ell)},"
+                          f" {round_digits})"))
         .drop("xi", "eta", "xip", "etap", "chi")
     )
 
@@ -223,18 +264,20 @@ def reproject_utm(df: DataFrame, easting: str = "e_utm",
 # ---------------------------------------------------------------------------
 
 def np_utm_inverse(e: np.ndarray, n: np.ndarray, zone: int = 21,
-                   south: bool = True) -> tuple[np.ndarray, np.ndarray]:
+                   south: bool = True,
+                   ell: TMEllipsoid = WGS84_ELL
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized inverse — same truncated series as the SQL text."""
-    xi = (n.astype(np.float64) - utm_false_northing(south)) / K0A
-    eta = (e.astype(np.float64) - E0) / K0A
+    xi = (n.astype(np.float64) - utm_false_northing(south)) / ell.k0a
+    eta = (e.astype(np.float64) - E0) / ell.k0a
     xip = xi.copy()
     etap = eta.copy()
-    for j, b in enumerate(BETA, start=1):
+    for j, b in enumerate(ell.beta, start=1):
         xip = xip - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         etap = etap - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     chi = np.arcsin(np.sin(xip) / np.cosh(etap))
     phi = chi.copy()
-    for j, d in enumerate(DELTA, start=1):
+    for j, d in enumerate(ell.delta, start=1):
         phi = phi + d * np.sin(2 * j * chi)
     lat = phi * RAD2DEG
     lon = utm_lon0(zone) + np.arctan(np.sinh(etap) / np.cos(xip)) * RAD2DEG
@@ -242,22 +285,24 @@ def np_utm_inverse(e: np.ndarray, n: np.ndarray, zone: int = 21,
 
 
 def np_utm_forward(lon: np.ndarray, lat: np.ndarray, zone: int = 21,
-                   south: bool = True) -> tuple[np.ndarray, np.ndarray]:
+                   south: bool = True,
+                   ell: TMEllipsoid = WGS84_ELL
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized forward transform (test-side ground truth only)."""
     lam = (lon.astype(np.float64) - utm_lon0(zone)) / RAD2DEG
     phi = lat.astype(np.float64) / RAD2DEG
-    s = 2.0 * math.sqrt(_N) / (1.0 + _N)
+    s = 2.0 * math.sqrt(ell.n) / (1.0 + ell.n)
     sphi = np.sin(phi)
     t = np.sinh(np.arctanh(sphi) - s * np.arctanh(s * sphi))
     xip = np.arctan2(t, np.cos(lam))
     etap = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
     xi = xip.copy()
     eta = etap.copy()
-    for j, a in enumerate(ALPHA, start=1):
+    for j, a in enumerate(ell.alpha, start=1):
         xi = xi + a * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
         eta = eta + a * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
-    easting = E0 + K0A * eta
-    northing = utm_false_northing(south) + K0A * xi
+    easting = E0 + ell.k0a * eta
+    northing = utm_false_northing(south) + ell.k0a * xi
     return easting, northing
 
 
@@ -663,13 +708,21 @@ def reproject_epsg(df: DataFrame, epsg: int, x: str, y: str,
     Native closed-form dispatch (no UDF, single codegen projection):
       - 32601-32660: WGS84 / UTM zone N (north)
       - 32701-32760: WGS84 / UTM zone N (south)
+      - 25828-25838: ETRS89 / UTM zone N (GRS80, north)
+      - 26901-26923: NAD83 / UTM zone N (GRS80, north)
+      - 28348-28358: GDA94 / MGA zone N (GRS80, south)
+      - 7846-7859: GDA2020 / MGA zone N (GRS80, south; same grid
+        definition as GDA94 MGA — the datum-frame shift is a plate
+        motion model outside a coordinate-only transform's scope)
+      - 23028-23038: ED50 / UTM zone N (International 1924, north)
       - 3031: WGS84 / Antarctic Polar Stereographic (lat_ts -71, lon0 0)
       - 3857: spherical (Web) Mercator — the reference's target CRS
       - LCC_EPSG registry (2154 Lambert-93, 3978 Canada Atlas): Lambert
         conformal conic with published parameters. These CRSs sit on
-        GRS80; the series here uses WGS84 flattening — the ellipsoids
-        differ by ~1e-9 in 1/f (sub-0.1 mm on the ground), far inside
-        the round_digits=6 (~0.1 m) output quantum.
+        GRS80; the LCC series here uses WGS84 flattening — the
+        ellipsoids differ by ~1e-9 in 1/f (sub-0.1 mm on the ground),
+        far inside the round_digits=6 (~0.1 m) output quantum. (The
+        UTM family above does carry the true GRS80 constants.)
       - 4326: passthrough (source already lon/lat)
     Anything else: pyproj Arrow UDF (``make_pyproj_inverse_pandas_udf``).
     """
@@ -684,6 +737,22 @@ def reproject_epsg(df: DataFrame, epsg: int, x: str, y: str,
     if 32701 <= epsg <= 32760:
         return reproject_utm(df, x, y, zone=epsg - 32700, south=True,
                              round_digits=round_digits)
+    if 25828 <= epsg <= 25838:  # ETRS89 / UTM
+        return reproject_utm(df, x, y, zone=epsg - 25800, south=False,
+                             round_digits=round_digits, ell=GRS80_ELL)
+    if 26901 <= epsg <= 26923:  # NAD83 / UTM
+        return reproject_utm(df, x, y, zone=epsg - 26900, south=False,
+                             round_digits=round_digits, ell=GRS80_ELL)
+    if 28348 <= epsg <= 28358:  # GDA94 / MGA
+        return reproject_utm(df, x, y, zone=epsg - 28300, south=True,
+                             round_digits=round_digits, ell=GRS80_ELL)
+    if 7846 <= epsg <= 7859:  # GDA2020 / MGA
+        return reproject_utm(df, x, y, zone=epsg - 7800, south=True,
+                             round_digits=round_digits, ell=GRS80_ELL)
+    if 23028 <= epsg <= 23038:  # ED50 / UTM (International 1924)
+        return reproject_utm(df, x, y, zone=epsg - 23000, south=False,
+                             round_digits=round_digits,
+                             ell=INTL1924_ELL)
     if epsg == 3031:
         return reproject_ps(df, x, y, round_digits=round_digits)
     if epsg == 4326:

@@ -364,3 +364,77 @@ def test_epsg_dispatch_lcc_registry(spark):
     got_lat = np.array([r.lat for r in out])
     assert np.abs(got_lon - np.round(lon, 6)).max() <= 2e-6
     assert np.abs(got_lat - np.round(lat, 6)).max() <= 2e-6
+
+
+def test_grs80_forward_inverse_roundtrip():
+    """Parameterized-ellipsoid family: GRS80 (ETRS89/GDA94/NAD83) runs
+    the same series with its own constant set and self-inverts."""
+    lon, lat = _grid()
+    lon = lon + 200.0  # shift into MGA zone 55 (lon0 147E)
+    e, n = R.np_utm_forward(lon, lat, 55, south=True, ell=R.GRS80_ELL)
+    lon2, lat2 = R.np_utm_inverse(e, n, 55, south=True, ell=R.GRS80_ELL)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+    # the constant sets genuinely differ (beta/delta by ~1e-12,
+    # invisible on the ground but distinct IEEE doubles in the SQL)
+    assert R.GRS80_ELL.beta != R.WGS84_ELL.beta
+    assert R.GRS80_ELL.delta != R.WGS84_ELL.delta
+
+
+def test_intl1924_ellipsoid_is_load_bearing():
+    """ED50 (International 1924, a 251 m larger): the same grid coords
+    must decode to measurably DIFFERENT lon/lat than under WGS84 —
+    proving the ellipsoid parameter actually reaches the series."""
+    e = np.array([440000.0, 560000.0])
+    n = np.array([4500000.0, 5200000.0])
+    lon_w, lat_w = R.np_utm_inverse(e, n, 30, south=False)
+    lon_i, lat_i = R.np_utm_inverse(e, n, 30, south=False,
+                                    ell=R.INTL1924_ELL)
+    assert np.abs(lat_i - lat_w).max() > 1e-4  # hundreds of metres
+    # and ED50 self-inverts on its own ellipsoid
+    e2, n2 = R.np_utm_forward(lon_i, lat_i, 30, south=False,
+                              ell=R.INTL1924_ELL)
+    assert np.abs(e2 - e).max() < 1e-3
+    assert np.abs(n2 - n).max() < 1e-3
+
+
+def test_epsg_dispatch_gda94_matches_grs80_direct(spark):
+    src = spark.range(300).select(
+        F.col("id").alias("i"),
+        F.expr(f"cast({R.SQL_UTM_EASTING} as double)").alias("e"),
+        F.expr(f"cast({R.SQL_UTM_NORTHING} as double)").alias("n"),
+    )
+    via_epsg = R.reproject_epsg(src, 28355, "e", "n") \
+        .orderBy("i").collect()
+    direct = R.reproject_utm(src, "e", "n", zone=55, south=True,
+                             ell=R.GRS80_ELL).orderBy("i").collect()
+    assert [(r.lon, r.lat) for r in via_epsg] == \
+           [(r.lon, r.lat) for r in direct]
+    # ED50 dispatch reaches the International 1924 constants: same
+    # coords, zone 30 north, must differ from the WGS84 answer
+    ed50 = R.reproject_epsg(src, 23030, "e", "n").orderBy("i").collect()
+    wgs = R.reproject_utm(src, "e", "n", zone=30, south=False) \
+        .orderBy("i").collect()
+    assert all(abs(a.lat - b.lat) > 1e-5 for a, b in zip(ed50, wgs))
+
+
+def test_grs80_spark_matches_duckdb_cte(spark, duck):
+    """The GDA94 oracle text (GRS80 constants inlined) agrees with the
+    Spark native path row-for-row — the reproject_gda94 contract."""
+    lon, lat = _grid()
+    e, n = R.np_utm_forward(lon + 200.0, lat, 55, south=True,
+                            ell=R.GRS80_ELL)
+    rows = [(int(i), float(a), float(b))
+            for i, (a, b) in enumerate(zip(e, n))]
+    df = spark.createDataFrame(rows, "i long, e_utm double, n_utm double")
+    got = {r["i"]: (r["lon"], r["lat"]) for r in
+           R.reproject_utm(df, "e_utm", "n_utm", zone=55, south=True,
+                           ell=R.GRS80_ELL).collect()}
+    duck.execute("CREATE OR REPLACE TABLE g80 (i bigint, e_utm double,"
+                 " n_utm double)")
+    duck.executemany("INSERT INTO g80 VALUES (?, ?, ?)", rows)
+    cte = R.utm_inverse_cte("g80", ["i"], zone=55, south=True,
+                            ell=R.GRS80_ELL)
+    for i, lo, la in duck.execute(
+            f"WITH {cte} SELECT i, lon, lat FROM utm_ll").fetchall():
+        assert got[i] == (lo, la), i
