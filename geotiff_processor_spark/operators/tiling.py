@@ -34,6 +34,22 @@ def tile_counts(geocoded: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+def tile_rollup_level(tile_counts_df: DataFrame, zoom: int) -> DataFrame:
+    """ONE pyramid step: zoom-level counts -> zoom-1 (parent = sum of
+    its 4 children). Taking the child level as an argument (rather
+    than the full upstream plan) is what lets a resumable pipeline
+    derive each level from the previous level's COMMITTED parquet."""
+    return (
+        tile_counts_df.groupBy(
+            F.expr("cast(floor(tile_x / 2) as bigint)").alias("tile_x"),
+            F.expr("cast(floor(tile_y / 2) as bigint)").alias("tile_y"),
+        )
+        .agg(F.sum("n_pages").alias("n_pages"))
+        .withColumn("zoom", F.lit(zoom - 1).cast("bigint"))
+        .select("zoom", "tile_x", "tile_y", "n_pages")
+    )
+
+
 def tile_pyramid_counts(tile_counts_df: DataFrame,
                         down_to_zoom: int = 0) -> dict[int, DataFrame]:
     """Roll tile counts up the zoom hierarchy: parent = sum of 4 children."""
@@ -42,15 +58,7 @@ def tile_pyramid_counts(tile_counts_df: DataFrame,
     zoom = cur.select(F.max("zoom")).first()[0]
     out[zoom] = cur
     while zoom > down_to_zoom:
+        cur = tile_rollup_level(cur, zoom)
         zoom -= 1
-        cur = (
-            cur.groupBy(
-                F.expr("cast(floor(tile_x / 2) as bigint)").alias("tile_x"),
-                F.expr("cast(floor(tile_y / 2) as bigint)").alias("tile_y"),
-            )
-            .agg(F.sum("n_pages").alias("n_pages"))
-            .withColumn("zoom", F.lit(zoom).cast("bigint"))
-            .select("zoom", "tile_x", "tile_y", "n_pages")
-        )
         out[zoom] = cur
     return out

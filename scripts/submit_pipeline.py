@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     pages_path, out_dir = sys.argv[1], sys.argv[2]
-    spark = SparkSession.builder.appName("gps-pipeline").getOrCreate()
+    builder = SparkSession.builder.appName("gps-pipeline")
+    # plain-python launches (tests, dev boxes) set the master via env;
+    # spark-submit runs leave it unset and use the cluster's
+    master = os.environ.get("GPS_PIPELINE_MASTER")
+    if master:
+        builder = builder.master(master) \
+            .config("spark.sql.shuffle.partitions", "16")
+    spark = builder.getOrCreate()
     run(spark, pages_path, out_dir)
     spark.stop()
 
@@ -71,13 +78,25 @@ def run(spark: SparkSession, pages_path: str, out_dir: str) -> None:
     # ---- stage 3: zonal stats (partitioned by zone) ----------------------
     stage(zonal.zonal_stats(pip_out), "zonal", ["zone"])
 
-    # ---- stage 4: tile pyramid z6 -> z3 (partitioned by zoom) ------------
-    base = tiling.tile_counts(geocoded, zoom=6)
-    levels = tiling.tile_pyramid_counts(base, down_to_zoom=3)
-    pyr = None
-    for z in sorted(levels):
-        pyr = levels[z] if pyr is None else pyr.unionByName(levels[z])
-    stage(pyr, "pyramid", ["zoom"])
+    # ---- stage 4: tile pyramid z6 -> z3, committed LEVEL BY LEVEL --------
+    # Each zoom level is its own resumable commit (partition key zoom)
+    # and every child level derives from the PARENT'S COMMITTED parquet,
+    # not the upstream plan — a run killed between levels restarts with
+    # the finished levels untouched and resumes exactly where it died,
+    # recomputing nothing upstream (north_rule "resumable from
+    # checkpoint", at query granularity).
+    def pyramid_level(df, z):
+        full = stage(df, "pyramid", ["zoom"])
+        # GPS_PIPELINE_CRASH_AFTER_ZOOM: fault-injection hook for the
+        # kill/restart tests — hard-exit (no cleanup, like SIGKILL)
+        # right after this level's commit
+        if os.environ.get("GPS_PIPELINE_CRASH_AFTER_ZOOM") == str(z):
+            os._exit(137)
+        return full.filter(F.col("zoom") == z)
+
+    cur = pyramid_level(tiling.tile_counts(geocoded, zoom=6), 6)
+    for z in range(6, 3, -1):
+        cur = pyramid_level(tiling.tile_rollup_level(cur, z), z - 1)
 
     # ---- stage 5: outline polygonize + GeoJSON features (by group) -------
     outlines = outline.cell_outlines(geocoded, group_col="lang", level=6)
