@@ -374,7 +374,141 @@ def _flagship_worker(argv: list[str]) -> None:
                       "boost_iter": boost_iter}))
 
 
-def _attempt_pair(pages_path: str, p32_hint: float = 0.0):
+# ---------------------------------------------------------------------------
+# Second scaling job (round 5): a SHUFFLE-HEAVY operator. The flagship
+# is deliberately shuffle-free (broadcast PIP + map-side partial agg),
+# so its efficiency does not evidence the engine's exchange path.
+# ExactSubstr dedup is the honest harder case: three digest/doc-keyed
+# shuffles with map-side partial aggregation and a digest sort-merge
+# join (operators/dedup.py exact_substr_dedup) — the shape every
+# corpus-scale dedup/agg runs. Protocol identical to the flagship block
+# (pinned workers, operating-point spinners, probe gates, ledger) via
+# the same generic timing body; only the job and its code hash differ.
+# ---------------------------------------------------------------------------
+
+def shuffle_pipeline(spark, docs):
+    """Shuffle-heavy scaling job: ExactSubstr (Lee et al. 2021) rolling
+    k-gram dedup signals over the documents corpus."""
+    from geotiff_processor_spark.operators import dedup
+    return dedup.exact_substr_dedup(docs.select("doc_id", "text"), k=8)
+
+
+def materialize_docs(spark, sf_dir: str, repl: int, path: str) -> None:
+    """Replicate the documents table ``repl``x with shifted doc ids.
+    Texts repeat across replicas on purpose: cross-replica duplicate
+    grams make every digest genuinely hot (web boilerplate shape), so
+    the job's shuffles carry real combine + skew work."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    reps = [docs.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(r * 10_000_000).cast("bigint"))
+        for r in range(repl)]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(64).write.mode("overwrite").parquet(path)
+
+
+def _run_timed_job(master: str, input_path: str, build_job,
+                   n_timed: int = 2, p32_ref: float = 0.0,
+                   antag_pids: list[int] | None = None
+                   ) -> tuple[float, int, float, float, float]:
+    """Generic mirror of run_flagship's timing body for a second job
+    kind (run_flagship itself is code-hash-covered by the committed
+    flagship attempt ledger and must stay byte-identical). Same
+    semantics: warm run, min-of-n timed runs, per-iteration steal /
+    foreign-load / bracketing boost-probe gates; returns
+    (rows/sec, n_rows, steal_iter, foreign_iter, boost_iter)."""
+    spark = _session(master)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = spark.read.parquet(input_path)
+    n = rows.count()
+    allowed = os.sched_getaffinity(0)
+    job = build_job(spark, rows)
+    _force(job)
+    hz = os.sysconf("SC_CLK_TCK")
+    nproc = len(allowed)
+
+    def _op_rate() -> float:
+        return machine_parallel_throughput(nproc) / nproc
+
+    ref = p32_ref / 32.0 if p32_ref else 0.0
+    probe_prev = _op_rate() if ref else 0.0
+    runs = []
+    for _ in range(n_timed):
+        s0, c0 = _cpu_counters()
+        b0 = _percpu_busy()
+        a0 = _pids_cpu_jiffies(antag_pids)
+        t0 = time.perf_counter()
+        _force(job)
+        dt = time.perf_counter() - t0
+        s1, c1 = _cpu_counters()
+        b1 = _percpu_busy()
+        a1 = _pids_cpu_jiffies(antag_pids)
+        outside = [c for c in b1 if c not in allowed and c in b0]
+        foreign = (max(0, sum(b1[c] - b0[c] for c in outside) - (a1 - a0))
+                   / max(len(outside) * dt * hz, 1e-9)) if outside else 0.0
+        if ref:
+            probe_next = _op_rate()
+            boost = max(probe_prev, probe_next) / ref
+            probe_prev = probe_next
+        else:
+            boost = 1.0
+        runs.append((dt, (s1 - s0) / max(c1 - c0, 1), foreign, boost))
+    unboosted = [r for r in runs if r[3] <= BOOST_MAX]
+    dt, steal_iter, foreign_iter, boost_iter = min(unboosted or runs)
+    spark.stop()
+    return n / dt, n, steal_iter, foreign_iter, boost_iter
+
+
+def run_shuffle_pinned(ncpus: int, docs_path: str, n_timed: int,
+                       p32_ref: float = 0.0,
+                       antag_pids: list[int] | None = None
+                       ) -> tuple[float, int, float, float, float]:
+    """Pinned-affinity subprocess for the shuffle job (same rationale
+    as run_flagship_pinned)."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--shuffle-worker",
+             str(ncpus), docs_path, str(n_timed), str(p32_ref),
+             ",".join(str(p) for p in antag_pids or ())],
+            capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(
+            f"pinned local[{ncpus}] shuffle job timed out after 900s: "
+            f"{(e.stderr or '')[-500:]}") from e
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"pinned local[{ncpus}] shuffle job failed rc={out.returncode}: "
+            f"{out.stderr[-500:]}")
+    d = json.loads(lines[-1])
+    return (d["pps"], d["n"], d.get("steal_iter", 0.0),
+            d.get("foreign_iter", 0.0), d.get("boost_iter", 1.0))
+
+
+def _shuffle_worker(argv: list[str]) -> None:
+    ncpus, docs_path, n_timed = int(argv[0]), argv[1], int(argv[2])
+    p32_ref = float(argv[3]) if len(argv) > 3 else 0.0
+    antag = ([int(p) for p in argv[4].split(",") if p]
+             if len(argv) > 4 else [])
+    _pin_first(ncpus)  # before the JVM launches
+    pps, n, steal_iter, foreign_iter, boost_iter = _run_timed_job(
+        f"local[{ncpus}]", docs_path,
+        lambda spark, rows: shuffle_pipeline(spark, rows),
+        n_timed=n_timed, p32_ref=p32_ref, antag_pids=antag)
+    print(json.dumps({"pps": pps, "n": n, "steal_iter": steal_iter,
+                      "foreign_iter": foreign_iter,
+                      "boost_iter": boost_iter}))
+
+
+JOB_RUNNERS = {"flagship": run_flagship_pinned,
+               "shuffle": run_shuffle_pinned}
+
+
+def _attempt_pair(pages_path: str, p32_hint: float = 0.0,
+                  job: str = "flagship"):
     """One short pinned 8-then-32 measurement pair; returns
     (pps8, pps32, steal_window, steal_iter, foreign_iter,
     mid_window, n_pages) where mid_window is a (steal, probe8,
@@ -415,6 +549,7 @@ def _attempt_pair(pages_path: str, p32_hint: float = 0.0):
     boost8=2.34 under full spinner control). max() can only RAISE the
     reference, i.e. LOWER boost8 readings, and both inputs are
     engine-independent probe measurements from the same attempt."""
+    runner = JOB_RUNNERS[job]
     p32_ref = max(machine_parallel_throughput(32), p32_hint)
     # operating-point control: hold the complement cores busy for the
     # whole 8-side (JVM boot included) so its pinned cores run at the
@@ -423,9 +558,9 @@ def _attempt_pair(pages_path: str, p32_hint: float = 0.0):
     comp = sorted(os.sched_getaffinity(0))[8:]
     with _busy_complement(comp, limit_s=900.0, settle_s=2.0) as ant:
         (r8, st8) = _steal_window(
-            lambda: run_flagship_pinned(8, pages_path, n_timed=3,
-                                        p32_ref=p32_ref,
-                                        antag_pids=ant.pids))
+            lambda: runner(8, pages_path, n_timed=3,
+                           p32_ref=p32_ref,
+                           antag_pids=ant.pids))
     pps8, n_pages, si8, fi8, boost8 = r8
     # the attempt can never be clean once the 8-side is disqualified
     # (boosted operating point or contaminated published iteration) —
@@ -447,7 +582,7 @@ def _attempt_pair(pages_path: str, p32_hint: float = 0.0):
     # attempt is enough for a faithful reading, and clean micro-windows
     # are common even inside contended minutes
     (r32, st32) = _steal_window(
-        lambda: run_flagship_pinned(32, pages_path, n_timed=6))
+        lambda: runner(32, pages_path, n_timed=6))
     pps32_, _, si32, fi32, _b = r32
     return (pps8, pps32_, max(st8, st32), max(si8, si32),
             max(fi8, fi32), (sw_mid, p8_mid, p32_mid), n_pages, boost8,
@@ -679,6 +814,27 @@ def _code_hash() -> str:
     return h.hexdigest()[:16]
 
 
+def _shuffle_code_hash() -> str:
+    """Code hash for the shuffle scaling job: everything its throughput
+    depends on — the ExactSubstr operator module, the job builder, the
+    generic timing body and the session config. Distinct from the
+    flagship hash by construction, so the two jobs' cached clean
+    attempts can never cross-pollinate."""
+    import hashlib
+    import inspect
+    from geotiff_processor_spark.operators import dedup as dedupmod
+    h = hashlib.sha256()
+    for fn in (shuffle_pipeline, materialize_docs, _run_timed_job,
+               _session):
+        h.update(inspect.getsource(fn).encode())
+    with open(dedupmod.__file__, "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+JOB_CODE_HASHES = {"flagship": _code_hash, "shuffle": _shuffle_code_hash}
+
+
 def _record_attempt(entry: dict) -> None:
     with open(ATTEMPTS_PATH, "a") as f:
         f.write(json.dumps(entry) + "\n")
@@ -762,7 +918,8 @@ def _load_clean_cached(pages_base: str, code_hash: str) -> list[dict]:
 def run_single_attempt(pages_path: str, window_budget_s: float,
                        steal_clean: float = 0.02,
                        probe_gate: float = 3.3,
-                       skip_if_bad: bool = False) -> dict:
+                       skip_if_bad: bool = False,
+                       job: str = "flagship") -> dict:
     """One pinned 8-vs-32 scaling attempt, preceded by a bounded wait
     for a window in which the MACHINE itself demonstrably scales.
     Returns a record suitable for scaling_attempts.jsonl. The window
@@ -775,7 +932,8 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
                                     probe_gate)
     pre_good = _window_good(sw, p8, p32, steal_clean, probe_gate)
     base = {"ts": ts, "pages": os.path.basename(pages_path),
-            "code_hash": _code_hash(),
+            "code_hash": JOB_CODE_HASHES[job](),
+            "job": job,
             "probe8": round(p8, 1), "probe32": round(p32, 1),
             # operating-point-controlled protocol (8-side + 8-way
             # probes measured under a busy complement — _busy_complement)
@@ -786,7 +944,8 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
                 "steal": round(sw, 4)}
     try:
         (pps8, pps32_, st, st_iter, f_iter, mid,
-         n_pages, boost8, p32_ref) = _attempt_pair(pages_path, p32_hint=p32)
+         n_pages, boost8, p32_ref) = _attempt_pair(pages_path,
+                                                   p32_hint=p32, job=job)
     except Dead8Side as e:
         return {**base, "skipped": True, "skip_reason": str(e)[:160],
                 "clean": False, "steal": round(sw, 4)}
@@ -846,7 +1005,8 @@ def run_single_attempt(pages_path: str, window_budget_s: float,
 def measure_scaling(pages_path: str, deadline_s: float,
                     max_attempts: int = 8,
                     steal_clean: float = 0.02,
-                    probe_gate: float = 3.3) -> dict:
+                    probe_gate: float = 3.3,
+                    job: str = "flagship") -> dict:
     """Pinned local[8] vs local[32] flagship throughput.
 
     The host is multi-tenant; external contention only ever slows a run
@@ -881,7 +1041,7 @@ def measure_scaling(pages_path: str, deadline_s: float,
             pages_path,
             window_budget_s=min(240.0, max(0.0,
                                            deadline_s * 0.85 - elapsed)),
-            steal_clean=steal_clean, probe_gate=probe_gate)
+            steal_clean=steal_clean, probe_gate=probe_gate, job=job)
         entry["source"] = "bench_main"
         _record_attempt(entry)
         if "pps8" in entry:
@@ -890,7 +1050,7 @@ def measure_scaling(pages_path: str, deadline_s: float,
             break
 
     cached_clean = _load_clean_cached(os.path.basename(pages_path),
-                                      _code_hash())
+                                      JOB_CODE_HASHES[job]())
     return assemble_scaling(live, cached_clean)
 
 
@@ -985,7 +1145,8 @@ def _foreign_attempt_pids() -> list[int]:
                 cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
         except OSError:
             continue
-        if "scaling_attempt.py" in cmd or "--flagship-worker" in cmd:
+        if ("scaling_attempt.py" in cmd or "--flagship-worker" in cmd
+                or "--shuffle-worker" in cmd):
             out.append(int(p))
     return out
 
@@ -1057,6 +1218,24 @@ def main():
                                         "900")))
     n_pages = scaling.pop("n_pages")
 
+    # second scaling block: the shuffle-heavy job (ExactSubstr dedup —
+    # see shuffle_pipeline). The flagship is shuffle-free by design, so
+    # this block evidences the exchange path's 8->32 scaling under the
+    # same pinned/probed protocol.
+    drepl = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_REPL", "16"))
+    docs_path = f"/tmp/bench_docs_sf{sf}_x{drepl}.parquet"
+    if not os.path.exists(docs_path):
+        s = _session(f"local[{cpus}]")
+        s.sparkContext.setLogLevel("ERROR")
+        materialize_docs(s, sf_dir, drepl, docs_path)
+        s.stop()
+    scaling_shuffle = measure_scaling(
+        docs_path,
+        deadline_s=float(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_SCALING_DEADLINE", "700")),
+        job="shuffle")
+    n_docs = scaling_shuffle.pop("n_pages")
+
     print(json.dumps({
         "metric": "headline query wall-time (sum) at sf; flagship "
                   "geocode->cell->PIP->zonal pages/sec; local[8] vs "
@@ -1069,11 +1248,17 @@ def main():
         "flagship_pages": n_pages,
         "flagship_pages_per_sec_local32": scaling["local[32]_pages_per_sec"],
         "scaling": scaling,
+        "shuffle_docs": n_docs,
+        "shuffle_docs_per_sec_local32":
+            scaling_shuffle["local[32]_pages_per_sec"],
+        "scaling_shuffle": scaling_shuffle,
     }))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--flagship-worker":
         _flagship_worker(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--shuffle-worker":
+        _shuffle_worker(sys.argv[2:])
     else:
         main()

@@ -12,8 +12,11 @@ deadline can't catch one. The stopping/gating criteria never look at
 the engine's measured efficiency, so the hunt cannot bias the number —
 it only decides WHEN the measurement is taken.
 
-Usage: python scripts/scaling_attempt.py [window_budget_s]
-Env:   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_BENCH_REPL as in bench.py.
+Usage: python scripts/scaling_attempt.py [window_budget_s] [job]
+       job: flagship (default) | shuffle (ExactSubstr dedup — the
+       shuffle-heavy second scaling block, bench.shuffle_pipeline)
+Env:   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_BENCH_REPL,
+       SPARK_GRAFT_BENCH_DOCS_REPL as in bench.py.
 Exit:  0 clean attempt recorded, 2 attempt ran but window not clean,
        3 skipped (window never went good within budget).
 """
@@ -31,15 +34,25 @@ import bench
 
 def main() -> int:
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 240.0
+    job = sys.argv[2] if len(sys.argv) > 2 else "flagship"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "256"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    pages_path = f"/tmp/bench_pages_sf{sf}_x{repl}.parquet"
-    if not os.path.exists(pages_path):
-        s = bench._session("local[32]")
-        s.sparkContext.setLogLevel("ERROR")
-        bench.materialize_pages(s, sf_dir, repl, pages_path)
-        s.stop()
+    if job == "shuffle":
+        repl = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_REPL", "16"))
+        pages_path = f"/tmp/bench_docs_sf{sf}_x{repl}.parquet"
+        if not os.path.exists(pages_path):
+            s = bench._session("local[32]")
+            s.sparkContext.setLogLevel("ERROR")
+            bench.materialize_docs(s, sf_dir, repl, pages_path)
+            s.stop()
+    else:
+        repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "256"))
+        pages_path = f"/tmp/bench_pages_sf{sf}_x{repl}.parquet"
+        if not os.path.exists(pages_path):
+            s = bench._session("local[32]")
+            s.sparkContext.setLogLevel("ERROR")
+            bench.materialize_pages(s, sf_dir, repl, pages_path)
+            s.stop()
 
     # closes the race where the hunt's marker check passed an instant
     # before a bench run (driver's or builder's) marked itself busy:
@@ -54,7 +67,7 @@ def main() -> int:
         return 3
 
     entry = bench.run_single_attempt(pages_path, window_budget_s=budget,
-                                     skip_if_bad=True)
+                                     skip_if_bad=True, job=job)
     entry["source"] = "scaling_attempt"
     bench._record_attempt(entry)
     print(json.dumps(entry))

@@ -14,7 +14,7 @@ mkdir -p /tmp/builder_busy.d
 touch "/tmp/builder_busy.d/$$"
 trap 'rm -f "/tmp/builder_busy.d/$$"' EXIT
 for i in $(seq 1 120); do
-  if ! pgrep -f "scaling_attempt.py|--flagship-worker" > /dev/null; then
+  if ! pgrep -f "scaling_attempt.py|--flagship-worker|--shuffle-worker" > /dev/null; then
     break
   fi
   sleep 10
