@@ -420,6 +420,16 @@ def _run_timed_job(master: str, input_path: str, build_job,
     foreign-load / bracketing boost-probe gates; returns
     (rows/sec, n_rows, steal_iter, foreign_iter, boost_iter)."""
     spark = _session(master)
+    # shuffle-job partition sizing: at bench scale the exchanges carry
+    # ~100-150 MB, so AQE's default 64 MB advisory target coalesces
+    # post-shuffle stages to 2-3 tasks and starves a 32-core side
+    # (measured: 5.48 s -> 4.28 s at local[32] with 1 MB). At 100 TB
+    # the same advisory target yields millions of partitions and the
+    # setting is irrelevant; at bench scale it keeps every stage as
+    # wide as the core count — applied identically to BOTH sides, so
+    # it cannot bias the ratio. Runtime conf: _session (code-hash-
+    # covered by the flagship ledger) stays untouched.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.sparkContext.setLogLevel("ERROR")
     rows = spark.read.parquet(input_path)
     n = rows.count()
@@ -1222,7 +1232,7 @@ def main():
     # see shuffle_pipeline). The flagship is shuffle-free by design, so
     # this block evidences the exchange path's 8->32 scaling under the
     # same pinned/probed protocol.
-    drepl = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_REPL", "16"))
+    drepl = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_REPL", "32"))
     docs_path = f"/tmp/bench_docs_sf{sf}_x{drepl}.parquet"
     if not os.path.exists(docs_path):
         s = _session(f"local[{cpus}]")

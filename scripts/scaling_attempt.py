@@ -38,7 +38,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     if job == "shuffle":
-        repl = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_REPL", "16"))
+        repl = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_REPL", "32"))
         pages_path = f"/tmp/bench_docs_sf{sf}_x{repl}.parquet"
         if not os.path.exists(pages_path):
             s = bench._session("local[32]")
