@@ -1215,6 +1215,22 @@ def main():
     total = round(sum(times.values()), 3)
     spark.stop()
 
+    # SPARK_GRAFT_SKIP_SCALING=1: headline-only pass (used for the sf1
+    # fixed-cost-thesis reading — the scaling blocks are scale-pinned to
+    # the sf0.1-derived inputs and re-running them at sf1 would just
+    # re-measure the same parquet)
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1":
+        print(json.dumps({
+            "metric": "headline query wall-time (sum) at sf"
+                      " (scaling blocks skipped)",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "steal_frac_headline": round(steal_headline, 4),
+            "sf": sf,
+        }))
+        return
+
     # scaling proxy: same flagship job + input, local[8] vs local[32]
     pages_path = f"/tmp/bench_pages_sf{sf}_x{repl}.parquet"
     if not os.path.exists(pages_path):

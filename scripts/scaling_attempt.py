@@ -37,6 +37,18 @@ def main() -> int:
     job = sys.argv[2] if len(sys.argv) > 2 else "flagship"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # the busy check must PRECEDE input materialization: the one-time
+    # local[32] materialize is itself a heavy run and would contaminate
+    # whatever with_busy-serialized measurement is in flight
+    busy_dir = "/tmp/builder_busy.d"
+    if os.path.exists("/tmp/builder_busy") or (
+            os.path.isdir(busy_dir) and any(
+                os.path.exists(f"/proc/{m}")
+                for m in os.listdir(busy_dir))):
+        print(json.dumps({"skipped": True,
+                          "skip_reason": "builder busy marker live"}))
+        return 3
     if job == "shuffle":
         repl = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_REPL", "32"))
         pages_path = f"/tmp/bench_docs_sf{sf}_x{repl}.parquet"
