@@ -1180,16 +1180,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lang_stopwords / union_shards / vendor_dates / salted_cell_counts:
     # round-3-green, code untouched since, and their §2 rows keep other
     # checked representatives — rotated out in round 4 so the five NEW
-    # corpus-assembly operators get driver rows; decode_audio /
-    # reproject_ps: third members of families whose rule the prefix
-    # already checks twice — the grouped Arrow decode rule is covered
-    # twice, reproject_utm+reproject_lcc cover the
-    # native-series CRS rule — rotated out so the NEW line_dedup and
+    # corpus-assembly operators get driver rows;
+    # reproject_ps: third member of a family whose rule the prefix
+    # already checks twice (reproject_utm+reproject_lcc cover the
+    # native-series CRS rule) — rotated out so the NEW line_dedup and
     # vocab_topk corpus operators get driver rows; decode_images:
     # rotated out in round 5 for decode_gif (never driver-checked in
     # r1-r4 — VERDICT r4 item 1) since decode_jpeg keeps the grouped
     # Arrow decode rule covered and decode_images stays in
-    # DIFFCHECK/pytest; dedup_exact: its
+    # DIFFCHECK/pytest; minhash_sigs: rotated out in round 5 for
+    # decode_audio (the OTHER never-driver-checked codec from VERDICT
+    # r4 item 1) — the signature computation is a strict sub-stage of
+    # the checked minhash_candidates pipeline (same shingle/minhash
+    # exprs feed its band join), and minhash_sigs keeps its own oracle
+    # in DIFFCHECK/pytest; dedup_exact: its
     # md5-group first-wins rule is subsumed by streaming_dedup's oracle,
     # which additionally drives the keyed-state streaming path — rotated
     # out so the stateful operator gets the driver row;
@@ -1241,7 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_gif": q_decode_gif,
         "bpe_merges": q_bpe_merges,
         "substr_dedup": q_substr_dedup,
-        "minhash_sigs": q_minhash_sigs,
+        "decode_audio": q_decode_audio,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "url_parsing": q_url_parsing,
@@ -1273,7 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_ingest": q_hourly_ingest,
         "preview_math": q_preview_math,
         "dedup_exact": q_dedup_exact,
-        "decode_audio": q_decode_audio,
+        "minhash_sigs": q_minhash_sigs,
         "decode_images": q_decode_images,
         "reproject_ps": q_reproject_ps,
         "reproject_gda94": q_reproject_gda94,
