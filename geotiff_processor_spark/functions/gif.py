@@ -7,12 +7,12 @@ real decoders for EVERY magic kind ``operators/multimodal.py`` sniffs
 Reference analog: all media work is external-tool-side in the
 reference (/root/reference/export_formats/previews.py:24-39).
 
-Supported: single-frame, non-interlaced images with a global color
-table; extensions (GCE/comment/application) are walked and skipped
-like PNG ancillary chunks. Interlace and local color tables raise
-(documented limits, like the other codecs). LZW decode is exact, so
+Supported: single-frame images, interlaced or sequential, with a
+global or local color table; extensions (GCE/comment/application) are
+walked and skipped like PNG ancillary chunks. LZW decode is exact, so
 planted payloads whose palette indices derive from an integer formula
-are end-to-end oracle-checkable.
+are end-to-end oracle-checkable regardless of row order or table
+placement.
 """
 
 from __future__ import annotations
@@ -22,8 +22,23 @@ import struct
 import numpy as np
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def _interlace_rows(h: int) -> np.ndarray:
+    """GIF 89a appendix E four-pass interlace: the source row stored at
+    stream position k, for k in 0..h-1."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False,
+               local_palette: bool = False) -> bytes:
     """(h, w) uint8 palette indices + (256, 3) uint8 palette -> GIF89a.
+
+    ``interlace`` stores rows in the four-pass appendix-E order and
+    sets the image-descriptor flag; ``local_palette`` writes the
+    palette as a local color table on the image descriptor instead of
+    a global one (both exercised by the decode path; pixel content is
+    identical either way).
 
     The LZW stream uses the always-legal "emit literals, CLEAR before
     the code table would force a width change" strategy: every root
@@ -36,11 +51,19 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     if palette.shape != (256, 3) or palette.dtype != np.uint8:
         raise ValueError("encode_gif expects a (256, 3) uint8 palette")
     h, w = indices.shape
+    if interlace:
+        indices = indices[_interlace_rows(h)]
+    screen_packed = 0x07 if local_palette else 0xF7  # GCT flag + size
+    ipacked = (0x80 if local_palette else 0) | (0x40 if interlace else 0)
+    ipacked |= 0x07 if local_palette else 0  # LCT size: 256 entries
     out = [b"GIF89a", struct.pack("<HH", w, h),
-           bytes([0xF7, 0, 0]),  # GCT present, 256 entries
-           palette.tobytes(),
-           b"\x2C", struct.pack("<HHHH", 0, 0, w, h), b"\x00",
-           b"\x08"]  # image descriptor, no LCT; min code size 8
+           bytes([screen_packed, 0, 0])]
+    if not local_palette:
+        out.append(palette.tobytes())
+    out += [b"\x2C", struct.pack("<HHHH", 0, 0, w, h), bytes([ipacked])]
+    if local_palette:
+        out.append(palette.tobytes())
+    out.append(b"\x08")  # min code size 8
     clear, end = 256, 257
     acc, nbits = 0, 0
     codes = [clear]
@@ -103,13 +126,16 @@ def decode_gif(data: bytes) -> np.ndarray:
             left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
             ipacked = data[pos + 9]
             pos += 10
-            if ipacked & 0x80:
-                raise ValueError("local color tables unsupported; this "
-                                 "codec handles GCT-only GIFs")
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIFs unsupported")
+            if ipacked & 0x80:  # local color table overrides the GCT
+                n = 2 << (ipacked & 0x07)
+                if pos + n * 3 > len(data):
+                    raise ValueError("truncated GIF payload")
+                gct = np.frombuffer(data, np.uint8, n * 3, pos) \
+                    .reshape(n, 3)
+                pos += n * 3
+            interlaced = bool(ipacked & 0x40)
             if gct is None:
-                raise ValueError("missing global color table")
+                raise ValueError("missing color table (no GCT or LCT)")
             min_code = _need(pos)
             pos += 1
             lzw = bytearray()
@@ -127,8 +153,13 @@ def decode_gif(data: bytes) -> np.ndarray:
                              np.int32)
             if idx.size and int(idx.max()) >= len(gct):
                 raise ValueError("corrupt LZW stream: palette index "
-                                 "beyond global color table")
-            return gct[idx].reshape(ih, iw, 3)
+                                 "beyond color table")
+            rgb = gct[idx].reshape(ih, iw, 3)
+            if interlaced:
+                deinterlaced = np.empty_like(rgb)
+                deinterlaced[_interlace_rows(ih)] = rgb
+                rgb = deinterlaced
+            return rgb
         elif b == 0x3B:
             break
         else:

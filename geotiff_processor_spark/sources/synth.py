@@ -576,7 +576,15 @@ def build_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in pdf["i"].to_numpy(np.int64):
                 idx = ((int(i) * a + y * b + x * c) % 256).astype(np.uint8)
-                payloads.append(encode_gif(idx, pal))
+                # rotate the encoding layout by id: sequential/GCT,
+                # interlaced, local-color-table, interlaced+LCT — the
+                # decoded pixels are identical (same index formula and
+                # palette), so the oracle is layout-blind while the
+                # decode query exercises every descriptor path
+                v = int(i) % 4
+                payloads.append(encode_gif(idx, pal,
+                                           interlace=bool(v & 1),
+                                           local_palette=bool(v & 2)))
             yield pd.DataFrame({"url": pdf["url"], "gif": payloads})
 
     return base.mapInPandas(gen, "url string, gif binary")
@@ -584,7 +592,8 @@ def build_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_media_gif_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_media_gif materialized once per sf_dir."""
-    return _stage_media(spark, sf_dir, "media_gif", build_media_gif)
+    return _stage_media(spark, sf_dir, "media_gif", build_media_gif,
+                        version="v2-interlace-lct")
 
 
 # ---------------------------------------------------------------------------
@@ -647,9 +656,14 @@ def build_media_y4m_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_media(spark: SparkSession, sf_dir: str, name: str,
-                 builder) -> DataFrame:
+                 builder, version: str = "v1") -> DataFrame:
     """Shared staging for synthesized media tables (same rationale as
-    build_pages_staged: synthesis never re-runs per query)."""
+    build_pages_staged: synthesis never re-runs per query).
+
+    ``version`` is part of the cache key — bump it in the caller when
+    the builder's OUTPUT changes (the key otherwise only fingerprints
+    the input parquet, so a stale stage would silently mask new
+    encoder paths)."""
     import hashlib
     import os
     import shutil
@@ -664,7 +678,7 @@ def _stage_media(spark: SparkSession, sf_dir: str, name: str,
         st = os.stat(p)
         fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.sha256(
-        f"{sf_dir}|{name}|{';'.join(fps)}|v1".encode()).hexdigest()[:16]
+        f"{sf_dir}|{name}|{';'.join(fps)}|{version}".encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"gps_{name}_{key}.parquet")
     if not os.path.exists(path):
         tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"

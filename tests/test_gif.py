@@ -43,17 +43,43 @@ def test_decoder_rejects_bad_inputs():
     data = bytearray(G.encode_gif(idx, pal))
     with pytest.raises(ValueError, match="not a GIF"):
         G.decode_gif(b"\x89PNG" + bytes(data[4:]))
-    # flip the interlace bit in the image descriptor
-    at = bytes(data).find(b"\x2C")
-    data2 = bytearray(data)
-    data2[at + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        G.decode_gif(bytes(data2))
-    # local-color-table flag
-    data3 = bytearray(data)
-    data3[at + 9] |= 0x80
-    with pytest.raises(ValueError, match="local color"):
-        G.decode_gif(bytes(data3))
+    # truncate inside a local color table (descriptor starts right
+    # after the 13-byte header when there is no GCT)
+    lct = G.encode_gif(idx, pal, local_palette=True)
+    assert lct[13] == 0x2C
+    with pytest.raises(ValueError, match="truncated"):
+        G.decode_gif(lct[:13 + 10 + 100])
+
+
+def test_interlace_and_local_color_table_roundtrip():
+    """All four descriptor layouts (sequential/interlaced x GCT/LCT)
+    decode to the SAME pixels — the layout-rotation invariant the
+    synth media table and its oracle rely on."""
+    rng = np.random.default_rng(11)
+    for h, w in ((16, 16), (3, 9), (1, 1), (37, 41), (8, 5)):
+        idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        want = pal[idx.astype(np.int32)]
+        for interlace in (False, True):
+            for lct in (False, True):
+                data = G.encode_gif(idx, pal, interlace=interlace,
+                                    local_palette=lct)
+                got = G.decode_gif(data)
+                assert np.array_equal(got, want), (h, w, interlace, lct)
+                # flags actually round-tripped through the descriptor
+                # (offset computed structurally — find(0x2C) could hit
+                # an arbitrary palette byte)
+                at = 13 + (0 if lct else 768)
+                assert data[at] == 0x2C
+                assert bool(data[at + 9] & 0x40) == interlace
+                assert bool(data[at + 9] & 0x80) == lct
+
+
+def test_interlace_row_permutation_is_appendix_e():
+    """Pin the four-pass order on a height where every pass is
+    non-empty (GIF89a appendix E)."""
+    rows = G._interlace_rows(10).tolist()
+    assert rows == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
 
 
 def test_lzw_clear_boundary_exact():
