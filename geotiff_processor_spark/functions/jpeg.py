@@ -10,14 +10,16 @@ owns the codec because a 100 TB pipeline decodes in executors where
 native codecs may not be installable.
 
 Supported (documented limits, like the PNG codec's):
-- baseline sequential DCT (SOF0), 8-bit samples
+- baseline sequential DCT (SOF0) AND progressive DCT (SOF2) with
+  spectral selection + successive approximation, 8-bit samples
 - 1 (grayscale) or 3 (YCbCr) components
 - chroma subsampling: sampling factors 1 or 2 per axis via the general
   MCU-interleaved scan — 4:4:4, 4:2:0 (the overwhelmingly common crawl
   layout) and 4:2:2 all decode; subsampled chroma upsamples by sample
   replication (exact for block-constant payloads, so 4:2:0 streams
   stay end-to-end oracle-checkable)
-- no restart intervals, no progressive/arithmetic coding
+- restart intervals (DRI + RSTn), baseline and progressive scans
+- no arithmetic coding, no hierarchical (SOF5+) modes, no 12-bit
 
 The encoder writes its huffman and quantization tables into DHT/DQT
 markers, so any spec-conforming decoder reads its output; the decoder
@@ -210,6 +212,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTn — written raw, a
+        marker is never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     """Reads the entropy-coded segment, un-stuffing FF00.
@@ -233,15 +243,29 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError("restart markers not supported")
             else:
+                # any real marker (RSTn included) ends the entropy
+                # segment; RSTn is consumed by restart(), others by
+                # the caller's marker loop
                 self.ended = True
                 return
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def restart(self, expect: int) -> None:
+        """Consume the RSTn marker at a restart boundary: discard the
+        current byte's padding bits and verify the modulo-8 counter."""
+        self.acc = 0
+        self.nbits = 0
+        if (self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected RST marker at restart boundary")
+        if self.data[self.pos + 1] - 0xD0 != (expect & 7):
+            raise ValueError("RST marker out of sequence")
+        self.pos += 2
+        self.ended = False
 
     def read_bits(self, n: int) -> int:
         while self.nbits < n and not self.ended:
@@ -301,7 +325,8 @@ SUBSAMPLE_FACTORS = {
 
 
 def encode_jpeg_planes(planes: list[np.ndarray],
-                       subsample: str = "444") -> bytes:
+                       subsample: str = "444",
+                       restart_interval: int = 0) -> bytes:
     """Encode component planes (1 = grayscale, 3 = YCbCr — NO RGB
     conversion here, so callers planting exact payloads control the
     YCbCr samples bit-for-bit).
@@ -310,7 +335,11 @@ def encode_jpeg_planes(planes: list[np.ndarray],
     (h, w/2)) or '420' (chroma already (h/2, w/2)) — the caller
     supplies chroma at its stored resolution, this function never
     resamples. Luma (h, w) must be a multiple of the MCU size
-    (8 x factor per axis: 8 for 444, 16x8 for 422, 16x16 for 420)."""
+    (8 x factor per axis: 8 for 444, 16x8 for 422, 16x16 for 420).
+
+    ``restart_interval`` > 0 writes a DRI marker and an RSTn every
+    that many MCUs (byte-aligned, DC predictors reset) — the error-
+    resilience layout real encoders emit for crawl-sized images."""
     if len(planes) not in (1, 3):
         raise ValueError("1 or 3 component planes")
     nc = len(planes)
@@ -346,6 +375,9 @@ def encode_jpeg_planes(planes: list[np.ndarray],
     for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
         body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # DRI (only when restarts requested)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([nc])
     for cid in range(1, nc + 1):
@@ -361,8 +393,16 @@ def encode_jpeg_planes(planes: list[np.ndarray],
     # MCU-interleaved scan (T.81 A.2.3): per MCU, component ci
     # contributes v_i x h_i blocks in raster order
     mcuy, mcux = h // (8 * vmax), w // (8 * hmax)
+    mcu_i = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (restart_interval and mcu_i
+                    and mcu_i % restart_interval == 0):
+                writer.restart(rst)
+                rst += 1
+                pred = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 hi, vi = factors[ci]
                 for byi in range(vi):
@@ -413,109 +453,324 @@ def _encode_block(plane: np.ndarray, by: int, bx: int, ci: int,
 
 
 # ---------------------------------------------------------------------------
-# decoder
+# progressive encoder (SOF2): spectral selection + successive
+# approximation, the multi-scan layout most web JPEGs above thumbnail
+# size actually use. Scans are encoded twice — a counting pass picks
+# the symbol alphabet, a per-scan DHT carries a flat canonical code
+# for exactly that alphabet, then the real pass emits. Coefficients
+# come from the same DCT/quantization as the baseline encoder, so a
+# progressive and a baseline stream of the same planes decode to
+# IDENTICAL pixels (the cross-check the tests pin).
 # ---------------------------------------------------------------------------
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (4:4:4, 4:2:2 or 4:2:0 — any sampling
-    factors <= 2) to (h, w, 3) uint8 RGB (grayscale replicates Y into
-    all three channels). Subsampled chroma upsamples by sample
-    replication. Raises on progressive or restart-interval streams
-    (documented limits)."""
-    if bytes(data[:2]) != b"\xff\xd8":
-        raise ValueError("not a JPEG (bad SOI)")
-    pos = 2
-    qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-    comps: list[tuple[int, int]] = []  # (component id, qtable id)
-    samps: list[tuple[int, int]] = []  # (h_i, v_i) sampling factors
-    h = w = 0
-    scan_map: list[tuple[int, int]] = []  # (dc table id, ac table id)
-    n = len(data)
-    while pos + 4 <= n:
-        if data[pos] != 0xFF:
-            raise ValueError("marker expected")
-        marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            break
-        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        body = bytes(data[pos + 4:pos + 2 + seglen])
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            b = 0
-            while b < len(body):
-                prec, tid = body[b] >> 4, body[b] & 0xF
-                if prec != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                qtables[tid] = np.frombuffer(
-                    body[b + 1:b + 65], np.uint8).astype(np.int32)
-                b += 65
-        elif marker == 0xC4:  # DHT
-            b = 0
-            while b < len(body):
-                cls, tid = body[b] >> 4, body[b] & 0xF
-                bits = list(body[b + 1:b + 17])
-                nv = sum(bits)
-                vals = list(body[b + 17:b + 17 + nv])
-                htables[(cls, tid)] = _peek_lut(bits, vals)
-                b += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
-            depth, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if depth != 8 or nc not in (1, 3):
-                raise ValueError("only 8-bit, 1 or 3 components")
-            for ci in range(nc):
-                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                hi, vi = samp >> 4, samp & 0xF
-                if hi not in (1, 2) or vi not in (1, 2):
-                    raise ValueError(
-                        "sampling factors beyond 2 unsupported")
-                comps.append((cid, tq))
-                samps.append((hi, vi))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) supported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            if ns != len(comps):
-                raise ValueError("partial scans unsupported")
-            for si in range(ns):
-                scan_map.append((body[2 + 2 * si] >> 4,
-                                 body[2 + 2 * si] & 0xF))
-            pos += 2 + seglen
-            break
-        # APPn / COM / others: skip
-        pos += 2 + seglen
-    if not comps or not scan_map:
-        raise ValueError("missing SOF/SOS")
+def _plane_coefs(plane: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 -> (gh*gw, 64) int64 quantized zigzag coefficients
+    in block raster order — the EXACT per-block arithmetic of
+    ``_encode_block`` (same matmul shape and summation order), so a
+    progressive and a baseline stream of the same planes carry
+    bit-identical coefficients even at floor(x + 0.5) ties."""
+    gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+    q = QTABLE.astype(np.float64)
+    out = np.zeros((gh * gw, 64), np.int64)
+    for by in range(gh):
+        for bx in range(gw):
+            block = plane[by * 8:by * 8 + 8,
+                          bx * 8:bx * 8 + 8].astype(np.float64)
+            coef = _C @ (block - 128.0) @ _C.T
+            zzc = np.array([coef[r, c] for r, c in ZIGZAG])
+            out[by * gw + bx] = np.floor(zzc / q + 0.5).astype(np.int64)
+    return out
 
-    nc = len(comps)
-    hmax = max(s[0] for s in samps)
-    vmax = max(s[1] for s in samps)
+
+def _flat_table(symbols) -> tuple[list[int], list[int]]:
+    """(bits, vals) giving every symbol the same code length L with
+    count < 2^L — a valid canonical prefix code that never assigns the
+    all-ones code."""
+    syms = sorted(int(s) for s in symbols) or [0]
+    length = 1
+    while (1 << length) <= len(syms):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+class _SymCounter:
+    """Counting sink for the first encoding pass."""
+
+    def __init__(self) -> None:
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.syms.add(int(s))
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _HuffSink:
+    """Real sink: symbols via a huffman table, raw bits direct."""
+
+    def __init__(self, writer: "_BitWriter",
+                 table: dict[int, tuple[int, int]]) -> None:
+        self.writer = writer
+        self.table = table
+
+    def sym(self, s: int) -> None:
+        code, ln = self.table[int(s)]
+        self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.writer.write(int(v), n)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """Divide by 2^Al truncating toward zero (T.81 G.1.2.2 point
+    transform for AC; DC uses the arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_dc_first(sink, coefs, order, al) -> None:
+    pred: dict[int, int] = {}
+    for ci, b in order:
+        v = int(coefs[ci][b, 0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = v - pred.get(ci, 0)
+        pred[ci] = v
+        t, bits_v = _magnitude(diff)
+        sink.sym(t)
+        sink.bits(bits_v, t)
+
+
+def _emit_ac_first(sink, coefs_ci, ss, se, al) -> None:
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(nb << 4)
+            sink.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for row in coefs_ci:
+        vals = [_trunc_shift(int(row[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for v in vals:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                sink.sym(0xF0)
+                r -= 16
+            t, bits_v = _magnitude(v)
+            sink.sym((r << 4) | t)
+            sink.bits(bits_v, t)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(sink, coefs_ci, ss, se, al) -> None:
+    """The libjpeg encode_mcu_AC_refine control flow: newly-nonzero
+    coefficients as (run, 1) symbols with a sign bit; correction bits
+    for already-nonzero coefficients buffered and emitted after the
+    next symbol (or with the pending EOB run)."""
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun, be_bits
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(nb << 4)
+            sink.bits(eobrun - (1 << nb), nb)
+            for bit in be_bits:
+                sink.bits(bit, 1)
+            eobrun = 0
+            be_bits = []
+
+    for row in coefs_ci:
+        absv = [(-int(row[k]) if row[k] < 0 else int(row[k])) >> al
+                for k in range(ss, se + 1)]
+        eobpos = -1
+        for j, t in enumerate(absv):
+            if t == 1:
+                eobpos = j
+        r = 0
+        br: list[int] = []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and j <= eobpos:
+                flush_eob()
+                sink.sym(0xF0)
+                r -= 16
+                for bit in br:
+                    sink.bits(bit, 1)
+                br = []
+            if t > 1:  # already nonzero at this precision
+                br.append(t & 1)
+                continue
+            flush_eob()
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if row[ss + j] >= 0 else 0, 1)
+            for bit in br:
+                sink.bits(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(planes: list[np.ndarray],
+                            subsample: str = "444") -> bytes:
+    """Encode component planes as a progressive (SOF2) JPEG using the
+    standard successive-approximation script (an interleaved DC-first
+    scan at Al=1, per-component AC bands 1-5/6-63 at Al=2, then the
+    refinement chain down to full precision) — the layout libjpeg's
+    default progressive script produces. Plane shape/subsampling
+    contract is identical to ``encode_jpeg_planes``."""
+    if len(planes) not in (1, 3):
+        raise ValueError("1 or 3 component planes")
+    nc = len(planes)
+    if subsample not in SUBSAMPLE_FACTORS:
+        raise ValueError(f"subsample must be one of "
+                         f"{sorted(SUBSAMPLE_FACTORS)}")
+    factors = [(1, 1)] if nc == 1 else list(SUBSAMPLE_FACTORS[subsample])
+    factors = factors[:nc]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    h, w = planes[0].shape
     if h % (8 * vmax) or w % (8 * hmax):
-        raise ValueError("dimensions must be multiples of the MCU size")
-    reader = _BitReader(data, pos)
+        raise ValueError(
+            f"luma dimensions must be multiples of {8 * hmax}x{8 * vmax}"
+            f" for {subsample}")
+    for p, (hi, vi) in zip(planes, factors):
+        want = (h * vi // vmax, w * hi // hmax)
+        if p.shape != want or p.dtype != np.uint8:
+            raise ValueError(
+                f"plane must be uint8 of shape {want} for {subsample}")
+
+    coefs = [_plane_coefs(p) for p in planes]
     mcuy, mcux = h // (8 * vmax), w // (8 * hmax)
-    # per-component block grid (component-resolution raster of 8x8
-    # blocks); zigzag coefficients accumulate in flat (nblocks, 64)
-    # arrays (one python-list write per nonzero coefficient); the
-    # de-zigzag is ONE fancy-index scatter per component, not a
-    # 64-iteration python loop per block
-    grids = [(mcuy * vi, mcux * hi) for hi, vi in samps]
-    zz = [np.zeros((gh * gw, 64), np.int64) for gh, gw in grids]
-    tabs = [(htables[(0, dct)], htables[(1, act)],
-             qtables[comps[ci][1]])
-            for ci, (dct, act) in enumerate(scan_map)]
-    pred = [0] * nc
-    read_symbol = reader.read_symbol
-    read_bits = reader.read_bits
-    # MCU-interleaved scan (T.81 A.2.3): per MCU, component ci
-    # contributes v_i x h_i blocks in raster order
+    # interleaved MCU order of (component, block) pairs for DC scans
+    dc_order = []
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in range(nc):
+                hi, vi = factors[ci]
+                gw = mcux * hi
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        dc_order.append(
+                            (ci, (my * vi + byi) * gw + (mx * hi + bxi)))
+
+    out = bytearray(b"\xff\xd8")
+    zzq = bytes(int(QTABLE[k]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        hi, vi = factors[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    # the standard script (libjpeg jcparam.c std_huff progression)
+    scans: list[tuple[str, list[int], int, int, int, int]] = []
+    allc = list(range(nc))
+    scans.append(("dc_first", allc, 0, 0, 0, 1))
+    for ci in allc:
+        scans.append(("ac_first", [ci], 1, 5, 0, 2))
+    for ci in allc:
+        scans.append(("ac_first", [ci], 6, 63, 0, 2))
+    for ci in allc:
+        scans.append(("ac_refine", [ci], 1, 63, 2, 1))
+    scans.append(("dc_refine", allc, 0, 0, 1, 0))
+    for ci in allc:
+        scans.append(("ac_refine", [ci], 1, 63, 1, 0))
+
+    for kind, cis, ss, se, ah, al in scans:
+        needs_table = kind != "dc_refine"
+        if needs_table:
+            counter = _SymCounter()
+            _run_prog_scan(kind, counter, coefs, cis, dc_order, ss, se,
+                           al, None)
+            bits, vals = _flat_table(counter.syms)
+            cls = 0 if kind == "dc_first" else 1
+            body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+            table = _encode_table(bits, vals)
+        else:
+            table = {}
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])  # DC/AC table id 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _BitWriter()
+        sink = _HuffSink(writer, table)
+        _run_prog_scan(kind, sink, coefs, cis, dc_order, ss, se, al,
+                       writer)
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _run_prog_scan(kind, sink, coefs, cis, dc_order, ss, se, al,
+                   writer) -> None:
+    if kind == "dc_first":
+        _emit_dc_first(sink, coefs, dc_order, al)
+    elif kind == "dc_refine":
+        # raw bits, no huffman table (decoder reads one bit per block)
+        for ci, b in dc_order:
+            sink.bits((int(coefs[ci][b, 0]) >> al) & 1, 1)
+    elif kind == "ac_first":
+        _emit_ac_first(sink, coefs[cis[0]], ss, se, al)
+    else:
+        _emit_ac_refine(sink, coefs[cis[0]], ss, se, al)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _baseline_scan(reader: "_BitReader", store, grids, samps, scan_map,
+                   htables, mcuy, mcux, restart_interval) -> None:
+    """Sequential full-band scan (T.81 F.2): DC diff + AC run-lengths,
+    MCU-interleaved, restart-aware."""
+    nc = len(samps)
+    tabs = [(htables[(0, dct)], htables[(1, act)])
+            for dct, act in scan_map]
+    pred = [0] * nc
+    read_symbol = reader.read_symbol
+    read_bits = reader.read_bits
+    mcu_i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_i
+                    and mcu_i % restart_interval == 0):
+                reader.restart(rst)
+                rst += 1
+                pred = [0] * nc
+            mcu_i += 1
+            for ci in range(nc):
                 hi, vi = samps[ci]
-                dc_tab, ac_tab, _q = tabs[ci]
+                dc_tab, ac_tab = tabs[ci]
                 gw = grids[ci][1]
                 for byi in range(vi):
                     for bxi in range(hi):
@@ -539,14 +794,299 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 raise ValueError("AC index overflow")
                             block[k] = _extend(read_bits(s), s)
                             k += 1
-                        zz[ci][b] = block
+                        store[ci][b] = block
+
+
+def _prog_dc_scan(reader: "_BitReader", scan_cis, scan_tids, htables,
+                  ah, al, store, grids, samps, mcuy, mcux,
+                  restart_interval) -> None:
+    """Progressive DC scan (T.81 G.2): first pass (Ah=0) codes the
+    DPCM of coefficients >> Al; refinement (Ah>0) is one raw bit per
+    block ORed in at bit Al."""
+    read_bits = reader.read_bits
+    pred = {ci: 0 for ci in scan_cis}
+    dc_tabs = {ci: htables[(0, scan_tids[i][0])] if ah == 0 else None
+               for i, ci in enumerate(scan_cis)}
+    mcu_i = 0
+    rst = 0
+    if len(scan_cis) == 1:
+        # non-interleaved scan: the component's own block raster, one
+        # block per restart unit (T.81 A.2.2)
+        ci = scan_cis[0]
+        gh, gw = grids[ci]
+        for b in range(gh * gw):
+            if restart_interval and b and b % restart_interval == 0:
+                reader.restart(rst)
+                rst += 1
+                pred = {ci: 0}
+            row = store[ci][b]
+            if ah == 0:
+                t = reader.read_symbol(dc_tabs[ci])
+                diff = _extend(read_bits(t), t)
+                pred[ci] += diff
+                row[0] = pred[ci] << al
+            elif read_bits(1):
+                row[0] |= 1 << al
+        return
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_i
+                    and mcu_i % restart_interval == 0):
+                reader.restart(rst)
+                rst += 1
+                pred = {ci: 0 for ci in scan_cis}
+            mcu_i += 1
+            for ci in scan_cis:
+                hi, vi = samps[ci]
+                gw = grids[ci][1]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        b = (my * vi + byi) * gw + (mx * hi + bxi)
+                        row = store[ci][b]
+                        if ah == 0:
+                            t = reader.read_symbol(dc_tabs[ci])
+                            diff = _extend(read_bits(t), t)
+                            pred[ci] += diff
+                            row[0] = pred[ci] << al
+                        elif read_bits(1):
+                            row[0] |= 1 << al
+
+
+def _prog_ac_scan(reader: "_BitReader", ac_tab, blocks, ss, se, ah, al,
+                  restart_interval) -> None:
+    """Progressive AC scan over ONE component's block raster
+    (T.81 G.2.2): spectral band [Ss, Se], first pass or successive-
+    approximation refinement, EOB-run and restart aware."""
+    eobrun = 0
+    rst = 0
+    for b, row in enumerate(blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            reader.restart(rst)
+            rst += 1
+            eobrun = 0
+        if ah == 0:
+            eobrun = _ac_first_block(reader, ac_tab, row, ss, se, al,
+                                     eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, ac_tab, row, ss, se, al,
+                                      eobrun)
+
+
+def _ac_first_block(reader, ac_tab, row, ss, se, al, eobrun) -> int:
+    """First AC pass for one block; returns the remaining EOB run."""
+    if eobrun:
+        return eobrun - 1
+    read_symbol = reader.read_symbol
+    read_bits = reader.read_bits
+    k = ss
+    while k <= se:
+        rs = read_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            # EOBn: run of (1 << r) + bits blocks ending at this one
+            eobrun = (1 << r) + (read_bits(r) if r else 0)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        row[k] = _extend(read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_tab, row, ss, se, al, eobrun) -> int:
+    """Successive-approximation AC refinement for one block
+    (T.81 G.2.2 / the libjpeg decode_mcu_AC_refine control flow):
+    newly-nonzero coefficients arrive as +-1<<Al; every already-nonzero
+    coefficient crossed consumes a correction bit. Returns the
+    remaining EOB run."""
+    read_bits = reader.read_bits
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (read_bits(r) if r else 0)
+                    break  # remainder handled by the EOB logic below
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if read_bits(1) else m1
+            while k <= se:
+                c = row[k]
+                if c != 0:
+                    if read_bits(1) and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement position overflow")
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = row[k]
+            if c != 0:
+                if read_bits(1) and (c & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG — 4:4:4,
+    4:2:2 or 4:2:0 (any sampling factors <= 2), restart intervals,
+    spectral selection + successive approximation — to (h, w, 3) uint8
+    RGB (grayscale replicates Y into all three channels). Subsampled
+    chroma upsamples by sample replication."""
+    if bytes(data[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    samps: list[tuple[int, int]] = []  # (h_i, v_i) sampling factors
+    h = w = 0
+    nc = 0
+    restart_interval = 0
+    progressive = False
+    scan_map: list[tuple[int, int]] = []  # baseline (dc tid, ac tid)
+    # progressive coefficient store: per component, per block, a
+    # mutable [64] zigzag list that successive scans refine in place
+    store: list[list[list[int]]] = []
+    grids: list[tuple[int, int]] = []
+    mcuy = mcux = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = bytes(data[pos + 4:pos + 2 + seglen])
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tid] = np.frombuffer(
+                    body[b + 1:b + 65], np.uint8).astype(np.int32)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17:b + 17 + nv])
+                htables[(cls, tid)] = _peek_lut(bits, vals)
+                b += 17 + nv
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
+            depth, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if depth != 8 or nc not in (1, 3):
+                raise ValueError("only 8-bit, 1 or 3 components")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        "sampling factors beyond 2 unsupported")
+                comps.append((cid, tq))
+                samps.append((hi, vi))
+            hmax = max(s[0] for s in samps)
+            vmax = max(s[1] for s in samps)
+            if h % (8 * vmax) or w % (8 * hmax):
+                raise ValueError(
+                    "dimensions must be multiples of the MCU size")
+            mcuy, mcux = h // (8 * vmax), w // (8 * hmax)
+            grids = [(mcuy * vi, mcux * hi) for hi, vi in samps]
+            store = [[[0] * 64 for _ in range(gh * gw)]
+                     for gh, gw in grids]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0) or progressive (SOF2) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError(
+                        "baseline partial scans unsupported")
+                scan_map = [(body[2 + 2 * si] >> 4,
+                             body[2 + 2 * si] & 0xF)
+                            for si in range(ns)]
+                pos += 2 + seglen
+                reader = _BitReader(data, pos)
+                _baseline_scan(reader, store, grids, samps, scan_map,
+                               htables, mcuy, mcux, restart_interval)
+                pos = reader.pos
+                continue
+            # progressive scan: component selectors by id + band/approx
+            cid_to_ci = {cid: ci for ci, (cid, _) in enumerate(comps)}
+            scan_cis, scan_tids = [], []
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                if cid not in cid_to_ci:
+                    raise ValueError("scan references unknown component")
+                scan_cis.append(cid_to_ci[cid])
+                scan_tids.append((body[2 + 2 * si] >> 4,
+                                  body[2 + 2 * si] & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            pos += 2 + seglen
+            reader = _BitReader(data, pos)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _prog_dc_scan(reader, scan_cis, scan_tids, htables, ah,
+                              al, store, grids, samps, mcuy, mcux,
+                              restart_interval)
+            else:
+                if len(scan_cis) != 1:
+                    raise ValueError("progressive AC scans are"
+                                     " single-component")
+                ci = scan_cis[0]
+                ac_tab = htables[(1, scan_tids[0][1])]
+                _prog_ac_scan(reader, ac_tab, store[ci], ss, se, ah, al,
+                              restart_interval)
+            pos = reader.pos
+            continue
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if not comps or not store:
+        raise ValueError("missing SOF/SOS")
+    if not progressive and not scan_map:
+        raise ValueError("missing SOS")
+
     zz_r = np.array([r for r, _ in ZIGZAG])
     zz_c = np.array([c for _, c in ZIGZAG])
     planes = []
     for ci in range(nc):
         gh, gw = grids[ci]
+        q = qtables[comps[ci][1]]
         coefs = np.zeros((gh * gw, 8, 8), np.float64)
-        coefs[:, zz_r, zz_c] = zz[ci] * tabs[ci][2][None, :]
+        coefs[:, zz_r, zz_c] = \
+            np.asarray(store[ci], np.int64) * q[None, :]
         # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
         spatial = np.einsum("ur,buv,vc->brc", _C, coefs, _C) + 128.0
         samples = np.clip(np.floor(spatial + 0.5), 0, 255) \

