@@ -1155,6 +1155,38 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank(nodes, edges, n, iters=5)
 
 
+def q_bpe_apply(spark, sf_dir):
+    """Tokenizer APPLY (the stage after bpe_merges' training): per-doc
+    whitespace-word and BPE-token counts under 20 learned rules. The
+    apply runs once over the DISTINCT-WORD vocab (Arrow UDF) and
+    broadcasts the word->n_tokens map back onto the corpus — document
+    text never reaches Python. Oracle: an independent single-node
+    apply of bpe_reference's independently-learned rules, inlined as a
+    VALUES word->n_tokens map joined to the exploded corpus."""
+    from geotiff_processor_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe.bpe_encode(docs.select("doc_id", "text"), n_merges=20)
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance scoring over the corpus for a fixed query
+    term set — the lexical retrieval prior corpus curation uses
+    alongside the ANN embedding scorers. One corpus-sized (doc, term)
+    partial-agg shuffle (non-matching words die map-side under the
+    explode); N/avgdl are one collected tiny stat; idf is a
+    |terms|-row broadcast. Oracle: identical arithmetic in DuckDB SQL,
+    round-6 float convention."""
+    from geotiff_processor_spark.operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return retrieval.bm25_scores(docs.select("doc_id", "text"),
+                                 BM25_TERMS)
+
+
+BM25_TERMS = ["join", "customer", "vector", "scan"]
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus term-frequency top-100 (tokenizer-training vocab scan):
     one vocabulary-bounded shuffle after map-side partial aggregation,
@@ -1300,6 +1332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vendor_dates": q_vendor_dates,
         "salted_cell_counts": q_salted_cell_counts,
         "source_mix_weights": q_source_mix_weights,
+        # round-5 additions (tail: full oracles in DIFFCHECK/pytest;
+        # the 50-slot prefix composition is guarded by test_entry)
+        "bpe_apply": q_bpe_apply,
+        "bm25": q_bm25,
     }
 
 
@@ -1549,8 +1585,47 @@ FROM ranked WHERE rnk <= 10"""
             "SELECT cast(step as integer) AS step, lhs, rhs,"
             " cast(pair_count as bigint) AS pair_count FROM (VALUES\n"
             + _rows + "\n) AS t(step, lhs, rhs, pair_count)")
+        # bpe_apply oracle: an independent single-node APPLY of the
+        # independently-learned rules yields a word -> n_tokens map,
+        # inlined as VALUES and joined onto the exploded corpus (the
+        # Spark side learns via bpe_train and applies via the vocab
+        # Arrow UDF — two implementations end to end)
+        _rules = [(l, r) for _, l, r, _ in bpe_reference(_wc, n_merges=20)]
+
+        def _ref_apply(word: str) -> int:
+            s = list(word)
+            for _l, _r in _rules:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                        out.append(_l + _r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+
+        _map_rows = ",\n".join(
+            "('{}', {})".format(w.replace("'", "''"), _ref_apply(w))
+            for w in sorted(_wc))
+        sql["bpe_apply"] = f"""
+WITH tokmap(word, word_tokens) AS (VALUES
+{_map_rows}
+), words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT w.doc_id,
+       cast(count(*) as bigint) AS n_words,
+       cast(sum(t.word_tokens) as bigint) AS n_tokens
+FROM words w JOIN tokmap t USING (word)
+WHERE w.word <> ''
+GROUP BY w.doc_id"""
     except Exception:
         pass  # sf dir unavailable: driver falls back to rows-only
+    from geotiff_processor_spark.operators.retrieval import sql_bm25
+    sql["bm25"] = sql_bm25(BM25_TERMS)
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
         f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"

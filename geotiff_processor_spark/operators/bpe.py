@@ -148,3 +148,74 @@ def bpe_reference(counts: dict[str, int],
             nxt[key] = nxt.get(key, 0) + c
         vocab = nxt
     return out
+
+
+def _apply_merges_udf(merges: list[tuple[str, str]]):
+    """Arrow UDF applying the learned merge rules IN STEP ORDER to a
+    word's symbol array (greedy non-overlapping left-to-right per rule,
+    the exact semantics of training's per-step rewrite). Runs over the
+    VOCAB only — corpus size never reaches Python."""
+
+    @pandas_udf("array<string>")
+    def apply_all(syms: pd.Series) -> pd.Series:
+        def one(s):
+            s = list(s)
+            for lhs, rhs in merges:
+                out, i, n = [], 0, len(s)
+                merged = lhs + rhs
+                while i < n:
+                    if i + 1 < n and s[i] == lhs and s[i + 1] == rhs:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
+        return syms.map(one)
+
+    return apply_all
+
+
+def bpe_encode(docs: DataFrame, text_col: str = "text",
+               n_merges: int = 20) -> DataFrame:
+    """Tokenize the corpus with learned BPE rules: per-doc token stats.
+
+    The tokenizer-APPLY stage that follows ``bpe_train`` in an LLM data
+    pipeline (token counting for mixture weighting / packing budgets).
+    Scale shape: merges are learned once (vocab-bounded iterations, see
+    bpe_train); the apply runs over the DISTINCT-WORD table via one
+    Arrow UDF, producing a word -> n_tokens map that is broadcast back
+    onto the exploded corpus — document text itself never reaches
+    Python and never shuffles; the only corpus-sized exchanges are the
+    word explode's (doc_id, word) partial-agg and the final per-doc
+    sum.
+
+    Returns (doc_id, n_words, n_tokens) — n_tokens under the learned
+    merge table, n_words the whitespace token count.
+    """
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(docs, text_col, n_merges)
+              .orderBy("step").collect()]
+    words = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != ""))
+    per_doc_word = (words.groupBy("doc_id", "word")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("occ")))
+    vocab = per_doc_word.select("word").distinct()
+    tok = vocab.withColumn(
+        "syms", F.expr("transform(sequence(1, length(word)),"
+                       " i -> substr(word, i, 1))"))
+    tok = tok.select(
+        "word",
+        F.size(_apply_merges_udf(merges)(F.col("syms")))
+        .cast("bigint").alias("word_tokens"))
+    return (
+        per_doc_word
+        .join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("occ").cast("bigint").alias("n_words"),
+             F.sum(F.col("occ") * F.col("word_tokens")).cast("bigint")
+             .alias("n_tokens")))

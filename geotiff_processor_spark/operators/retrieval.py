@@ -1,0 +1,113 @@
+"""BM25 document scoring (retrieval-quality prior for corpus curation).
+
+Okapi BM25 (Robertson & Zaragoza 2009, public literature) over the
+``documents`` table: the lexical-relevance score web-corpus pipelines
+use to rank documents against a query term set (e.g. quality probes,
+topic filters, decontamination spot checks) — the retrieval sibling of
+``operators/ann.py``'s embedding scorers.
+
+Scale shape (the only acceptable one at 10^12 docs):
+- corpus stats N and avgdl are ONE tiny aggregate collected to the
+  driver and re-entered as literals (the collect-tiny-stat /
+  driver-branch pattern of plans/adaptive.py) — never a cross join;
+- per-term document frequencies come from the SAME single corpus scan
+  as the term-frequency explode, aggregated over (term) — a
+  |terms|-row table joined back via an explicit broadcast;
+- the per-(doc, term) partial agg is the one corpus-sized shuffle;
+  document text never shuffles (only (doc_id, word) pairs ALREADY
+  filtered to the query terms — the filter sits under the explode, so
+  non-matching words die map-side).
+
+Reference analog: none (the reference is a raster pipeline); this
+operator belongs to the training-data curation family the engine adds
+for the 100 TB corpus use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(docs: DataFrame, terms: list[str],
+                text_col: str = "text", k1: float = 1.2,
+                b: float = 0.75, round_to: int = 6) -> DataFrame:
+    """Score every document containing >= 1 query term.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Returns (doc_id, bm25 double rounded to ``round_to``) — the float
+    rounding convention the repo's oracle comparisons use.
+    """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    # corpus stats: one tiny aggregate -> literals
+    stats = (docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"))
+        .collect()[0])
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    words = (docs
+             .select(F.col("doc_id"),
+                     F.size(F.split(F.col(text_col), " "))
+                     .cast("double").alias("dl"),
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("term"))
+             .filter(F.col("term").isin(terms)))
+    tf = (words.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf"),
+               F.first("dl").alias("dl")))
+    df = (words.select("doc_id", "term").distinct()
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    idf = df.select(
+        "term",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"))
+    contrib = (tf.join(F.broadcast(idf), "term")
+               .withColumn(
+                   "part",
+                   F.col("idf") * F.col("tf") * (k1 + 1.0)
+                   / (F.col("tf")
+                      + k1 * (1.0 - b + b * F.col("dl") / avgdl))))
+    return (contrib.groupBy("doc_id")
+            .agg(F.round(F.sum("part"), round_to).alias("bm25")))
+
+
+def sql_bm25(terms: list[str], table: str = "documents",
+             k1: float = 1.2, b: float = 0.75,
+             round_to: int = 6) -> str:
+    """The identical arithmetic as dialect-neutral SQL (DuckDB oracle
+    half of the contract; ln() is natural log in both engines)."""
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH stats AS (
+  SELECT cast(count(*) as double) AS n,
+         avg(cast(len(string_split(text, ' ')) as double)) AS avgdl
+  FROM {table}
+), words AS (
+  SELECT doc_id,
+         cast(len(string_split(text, ' ')) as double) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM {table}
+), hits AS (
+  SELECT doc_id, dl, term FROM words WHERE term IN ({tlist})
+), tf AS (
+  SELECT doc_id, term, cast(count(*) as double) AS tf, any_value(dl) AS dl
+  FROM hits GROUP BY doc_id, term
+), idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - cast(count(DISTINCT doc_id) as double) + 0.5)
+                / (cast(count(DISTINCT doc_id) as double) + 0.5)) AS idf
+  FROM hits GROUP BY term
+)
+SELECT tf.doc_id,
+       round(sum(idf.idf * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                    + {b} * tf.dl / (SELECT avgdl FROM stats)))),
+             {round_to}) AS bm25
+FROM tf JOIN idf USING (term)
+GROUP BY tf.doc_id
+"""

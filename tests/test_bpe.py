@@ -99,3 +99,55 @@ def _brute_bpe(counts, n):
 def test_bpe_reference_matches_brute(counts, n):
     from geotiff_processor_spark.operators.bpe import bpe_reference
     assert bpe_reference(counts, n) == _brute_bpe(counts, n)
+
+
+def test_bpe_encode_matches_reference_apply(spark, sf_dir):
+    """bpe_encode (distributed learn + vocab-UDF apply + broadcast
+    join) equals an independent single-node learn+apply end to end."""
+    from geotiff_processor_spark.operators.bpe import (
+        bpe_encode, bpe_reference)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode(docs, n_merges=8).collect()}
+    rows = docs.collect()
+    wc = {}
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    rules = [(l, rr) for _, l, rr, _ in bpe_reference(wc, n_merges=8)]
+
+    def apply_word(word):
+        s = list(word)
+        for lhs, rhs in rules:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    ntok = {w: apply_word(w) for w in wc}
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w]
+        assert got[r["doc_id"]] == (len(ws), sum(ntok[w] for w in ws)), \
+            r["doc_id"]
+
+
+def test_bpe_encode_plan_broadcasts_token_map(spark, sf_dir):
+    """The word->n_tokens join must be a broadcast (the corpus side
+    must never shuffle for it)."""
+    from geotiff_processor_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = bpe_encode(docs, n_merges=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
