@@ -1187,6 +1187,19 @@ def q_bm25(spark, sf_dir):
 BM25_TERMS = ["join", "customer", "vector", "scan"]
 
 
+def q_postings(spark, sf_dir):
+    """Inverted index (posting lists) over the corpus: word -> df,
+    total_tf, sorted doc_ids + aligned tfs. One (word, doc_id)
+    partial-agg shuffle then a vocab-keyed list build; posting skew is
+    handled by max_df pruning and hash(doc_id) segment sharding (both
+    exercised in tests; the oracle checks the unsegmented build).
+    Output determinism: array_sort over (doc_id, tf) structs."""
+    from geotiff_processor_spark.operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return retrieval.build_postings(docs.select("doc_id", "text"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus term-frequency top-100 (tokenizer-training vocab scan):
     one vocabulary-bounded shuffle after map-side partial aggregation,
@@ -1336,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 50-slot prefix composition is guarded by test_entry)
         "bpe_apply": q_bpe_apply,
         "bm25": q_bm25,
+        "postings": q_postings,
     }
 
 
@@ -1624,8 +1638,10 @@ WHERE w.word <> ''
 GROUP BY w.doc_id"""
     except Exception:
         pass  # sf dir unavailable: driver falls back to rows-only
-    from geotiff_processor_spark.operators.retrieval import sql_bm25
+    from geotiff_processor_spark.operators.retrieval import (
+        sql_bm25, sql_postings)
     sql["bm25"] = sql_bm25(BM25_TERMS)
+    sql["postings"] = sql_postings()
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
         f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"

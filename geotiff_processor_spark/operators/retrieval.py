@@ -111,3 +111,79 @@ SELECT tf.doc_id,
 FROM tf JOIN idf USING (term)
 GROUP BY tf.doc_id
 """
+
+
+def build_postings(docs: DataFrame, text_col: str = "text",
+                   min_df: int = 1, max_df: int | None = None,
+                   n_segments: int = 1) -> DataFrame:
+    """Inverted index (posting lists) over the corpus — the retrieval
+    structure behind decontamination lookups, keyword probes and BM25
+    serving.
+
+    Returns (word, [segment,] df, total_tf, doc_ids, tfs) with
+    doc_ids sorted ascending and tfs aligned.
+
+    Scale shape: the (word, doc_id) term-frequency partial agg is the
+    one corpus-sized shuffle; the per-word list build is the classic
+    posting-skew hazard (a stopword's list is corpus-sized), handled
+    the way real IR systems do:
+    - ``max_df`` prunes stopword-grade words BEFORE list building (the
+      filter runs on the (word, df) aggregate, so pruned words never
+      materialize lists);
+    - ``n_segments > 1`` shards lists by hash(doc_id) % n_segments into
+      (word, segment) rows — each segment list is bounded by
+      corpus/n_segments, and a serving layer merges segments lazily.
+    ``array_sort`` over (doc_id, tf) structs keeps output deterministic
+    under any partitioning.
+    """
+    tf = (docs
+          .select(F.col("doc_id"),
+                  F.explode(F.split(F.col(text_col), " ")).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word", "doc_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    keys = ["word"]
+    if n_segments > 1:
+        tf = tf.withColumn(
+            "segment",
+            (F.abs(F.hash("doc_id")) % n_segments).cast("int"))
+        keys.append("segment")
+    if max_df is not None:
+        # df computed word-wide (not per segment) so pruning semantics
+        # don't depend on n_segments; tiny (vocab-sized) broadcast
+        word_df = (tf.groupBy("word")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("wdf"))
+                   .filter(F.col("wdf") <= max_df).select("word"))
+        tf = tf.join(F.broadcast(word_df), "word", "left_semi")
+    posts = (tf.groupBy(*keys)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+                  F.sum("tf").cast("bigint").alias("total_tf"),
+                  F.array_sort(
+                      F.collect_list(F.struct("doc_id", "tf")))
+                  .alias("pl"))
+             .filter(F.col("df") >= min_df))
+    return (posts
+            .withColumn("doc_ids",
+                        F.expr("transform(pl, x -> x.doc_id)"))
+            .withColumn("tfs", F.expr("transform(pl, x -> x.tf)"))
+            .drop("pl"))
+
+
+def sql_postings(table: str = "documents", min_df: int = 1) -> str:
+    """Unsegmented postings as DuckDB SQL (oracle half)."""
+    return f"""
+WITH tf AS (
+  SELECT word, doc_id, cast(count(*) as bigint) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM {table})
+  WHERE word <> ''
+  GROUP BY word, doc_id
+)
+SELECT word,
+       cast(count(*) as bigint) AS df,
+       cast(sum(tf) as bigint) AS total_tf,
+       list(doc_id ORDER BY doc_id) AS doc_ids,
+       list(tf ORDER BY doc_id) AS tfs
+FROM tf GROUP BY word
+HAVING count(*) >= {min_df}
+"""

@@ -62,3 +62,64 @@ def test_bm25_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_postings_match_duckdb(spark, sf_dir):
+    from geotiff_processor_spark.operators.retrieval import (
+        build_postings, sql_postings)
+    from geotiff_processor_spark.testing import spark_norm, duck_norm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM"
+            f" '{sf_dir}/documents.parquet'")
+    sc, sr = spark_norm(build_postings(docs))
+    dc, dr = duck_norm(con, sql_postings())
+    assert sc == dc and sr == dr
+    assert len(sr) > 0
+
+
+def test_postings_segments_reconcile_and_prune(spark, sf_dir):
+    """Segment sharding partitions each word's postings exactly;
+    max_df prunes stopword-grade words before any list builds."""
+    from geotiff_processor_spark.operators.retrieval import build_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    base = {r["word"]: (r["df"], r["total_tf"], r["doc_ids"], r["tfs"])
+            for r in build_postings(docs).collect()}
+    seg = build_postings(docs, n_segments=4).collect()
+    merged: dict = {}
+    for r in seg:
+        pairs = merged.setdefault(r["word"], [])
+        pairs.extend(zip(r["doc_ids"], r["tfs"]))
+    for w, (df, ttf, ids, tfs) in base.items():
+        got = sorted(merged[w])
+        assert got == list(zip(ids, tfs)), w
+        assert df == len(got) and ttf == sum(t for _, t in got)
+    # max_df/min_df prune EXACTLY against the unpruned df table
+    dfs = {w: v[0] for w, v in base.items()}
+    cut = sorted(dfs.values())[len(dfs) // 2]  # median df as threshold
+    kept_hi = {r["word"] for r in
+               build_postings(docs, max_df=cut).collect()}
+    assert kept_hi == {w for w, d in dfs.items() if d <= cut}
+    kept_lo = {r["word"] for r in
+               build_postings(docs, min_df=cut + 1).collect()}
+    assert kept_lo == {w for w, d in dfs.items() if d > cut}
+
+
+def test_postings_plan_no_text_in_list_shuffle(spark, sf_dir):
+    """The list build shuffles (word, doc_id, tf) only — document text
+    must not survive past the first projection."""
+    from geotiff_processor_spark.operators.retrieval import build_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = build_postings(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # text appears only in the scan/explode stage, never in an exchange
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
