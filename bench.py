@@ -43,12 +43,14 @@ HEADLINE = [
     "stratified_sample", "dedup_canonical", "shuffle_rank",
     "pack_sequences", "source_cap", "line_dedup", "vocab_topk",
     "decode_video", "substr_dedup", "decode_gif", "pagerank",
+    "bm25", "postings",
 ]
-# bpe_merges and flagship_stream are deliberately NOT in the headline:
-# their wall time is fixed-cost dominated (20 sequential argmax rounds;
-# stream-machinery startup + temp-dir writes), so a sum-of-wall-times
-# metric would measure the harness, not engine throughput. Both remain
-# driver-checked queries with full oracles.
+# bpe_merges, bpe_apply and flagship_stream are deliberately NOT in the
+# headline: their wall time is fixed-cost dominated (20 sequential
+# argmax rounds — bpe_apply re-trains before applying; stream-machinery
+# startup + temp-dir writes), so a sum-of-wall-times metric would
+# measure the harness, not engine throughput. All remain driver-checked
+# queries with full oracles.
 
 
 def _session(master: str) -> SparkSession:
