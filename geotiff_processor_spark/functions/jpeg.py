@@ -507,6 +507,9 @@ class _SymCounter:
     def bits(self, v: int, n: int) -> None:
         pass
 
+    def restart(self, n: int) -> None:
+        pass
+
 
 class _HuffSink:
     """Real sink: symbols via a huffman table, raw bits direct."""
@@ -524,6 +527,9 @@ class _HuffSink:
         if n:
             self.writer.write(int(v), n)
 
+    def restart(self, n: int) -> None:
+        self.writer.restart(n)
+
 
 def _trunc_shift(v: int, al: int) -> int:
     """Divide by 2^Al truncating toward zero (T.81 G.1.2.2 point
@@ -531,9 +537,19 @@ def _trunc_shift(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _emit_dc_first(sink, coefs, order, al) -> None:
+def _emit_dc_first(sink, coefs, order, al, mcu_sizes=None,
+                   restart_interval=0) -> None:
+    """``order`` is the interleaved (ci, b) sequence; ``mcu_sizes`` is
+    blocks-per-MCU (restart boundaries count MCUs, not blocks)."""
     pred: dict[int, int] = {}
-    for ci, b in order:
+    per_mcu = mcu_sizes or 1
+    rst = 0
+    for i, (ci, b) in enumerate(order):
+        if (restart_interval and i
+                and i % (restart_interval * per_mcu) == 0):
+            sink.restart(rst)
+            rst += 1
+            pred = {}
         v = int(coefs[ci][b, 0]) >> al  # arithmetic shift (G.1.2.1)
         diff = v - pred.get(ci, 0)
         pred[ci] = v
@@ -542,8 +558,10 @@ def _emit_dc_first(sink, coefs, order, al) -> None:
         sink.bits(bits_v, t)
 
 
-def _emit_ac_first(sink, coefs_ci, ss, se, al) -> None:
+def _emit_ac_first(sink, coefs_ci, ss, se, al,
+                   restart_interval=0) -> None:
     eobrun = 0
+    rst = 0
 
     def flush_eob() -> None:
         nonlocal eobrun
@@ -553,7 +571,11 @@ def _emit_ac_first(sink, coefs_ci, ss, se, al) -> None:
             sink.bits(eobrun - (1 << nb), nb)
             eobrun = 0
 
-    for row in coefs_ci:
+    for bi, row in enumerate(coefs_ci):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            sink.restart(rst)
+            rst += 1
         vals = [_trunc_shift(int(row[k]), al) for k in range(ss, se + 1)]
         if not any(vals):
             eobrun += 1
@@ -580,12 +602,14 @@ def _emit_ac_first(sink, coefs_ci, ss, se, al) -> None:
     flush_eob()
 
 
-def _emit_ac_refine(sink, coefs_ci, ss, se, al) -> None:
+def _emit_ac_refine(sink, coefs_ci, ss, se, al,
+                    restart_interval=0) -> None:
     """The libjpeg encode_mcu_AC_refine control flow: newly-nonzero
     coefficients as (run, 1) symbols with a sign bit; correction bits
     for already-nonzero coefficients buffered and emitted after the
     next symbol (or with the pending EOB run)."""
     eobrun = 0
+    rst = 0
     be_bits: list[int] = []
 
     def flush_eob() -> None:
@@ -599,7 +623,11 @@ def _emit_ac_refine(sink, coefs_ci, ss, se, al) -> None:
             eobrun = 0
             be_bits = []
 
-    for row in coefs_ci:
+    for bi, row in enumerate(coefs_ci):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            sink.restart(rst)
+            rst += 1
         absv = [(-int(row[k]) if row[k] < 0 else int(row[k])) >> al
                 for k in range(ss, se + 1)]
         eobpos = -1
@@ -638,7 +666,8 @@ def _emit_ac_refine(sink, coefs_ci, ss, se, al) -> None:
 
 
 def encode_jpeg_progressive(planes: list[np.ndarray],
-                            subsample: str = "444") -> bytes:
+                            subsample: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """Encode component planes as a progressive (SOF2) JPEG using the
     standard successive-approximation script (an interleaved DC-first
     scan at Al=1, per-component AC bands 1-5/6-63 at Al=2, then the
@@ -688,6 +717,11 @@ def encode_jpeg_progressive(planes: list[np.ndarray],
         hi, vi = factors[cid - 1]
         sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # restart boundaries count MCUs in interleaved (DC) scans and
+    # blocks in single-component (AC / non-interleaved) scans
+    blocks_per_mcu = sum(hi * vi for hi, vi in factors)
 
     # the standard script (libjpeg jcparam.c std_huff progression)
     scans: list[tuple[str, list[int], int, int, int, int]] = []
@@ -708,7 +742,7 @@ def encode_jpeg_progressive(planes: list[np.ndarray],
         if needs_table:
             counter = _SymCounter()
             _run_prog_scan(kind, counter, coefs, cis, dc_order, ss, se,
-                           al, None)
+                           al, blocks_per_mcu, restart_interval)
             bits, vals = _flat_table(counter.syms)
             cls = 0 if kind == "dc_first" else 1
             body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
@@ -724,24 +758,32 @@ def encode_jpeg_progressive(planes: list[np.ndarray],
         writer = _BitWriter()
         sink = _HuffSink(writer, table)
         _run_prog_scan(kind, sink, coefs, cis, dc_order, ss, se, al,
-                       writer)
+                       blocks_per_mcu, restart_interval)
         out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
 
 def _run_prog_scan(kind, sink, coefs, cis, dc_order, ss, se, al,
-                   writer) -> None:
+                   blocks_per_mcu, restart_interval) -> None:
     if kind == "dc_first":
-        _emit_dc_first(sink, coefs, dc_order, al)
+        _emit_dc_first(sink, coefs, dc_order, al, blocks_per_mcu,
+                       restart_interval)
     elif kind == "dc_refine":
         # raw bits, no huffman table (decoder reads one bit per block)
-        for ci, b in dc_order:
+        rst = 0
+        for i, (ci, b) in enumerate(dc_order):
+            if (restart_interval and i
+                    and i % (restart_interval * blocks_per_mcu) == 0):
+                sink.restart(rst)
+                rst += 1
             sink.bits((int(coefs[ci][b, 0]) >> al) & 1, 1)
     elif kind == "ac_first":
-        _emit_ac_first(sink, coefs[cis[0]], ss, se, al)
+        _emit_ac_first(sink, coefs[cis[0]], ss, se, al,
+                       restart_interval)
     else:
-        _emit_ac_refine(sink, coefs[cis[0]], ss, se, al)
+        _emit_ac_refine(sink, coefs[cis[0]], ss, se, al,
+                        restart_interval)
 
 
 # ---------------------------------------------------------------------------

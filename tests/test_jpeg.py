@@ -283,3 +283,26 @@ def test_progressive_truncation_raises_valueerror():
             # IndexError only acceptable from raw byte access at the
             # very end of truncated data inside _BitReader._fill
             assert isinstance(e, (ValueError, IndexError))
+
+
+def test_progressive_with_restart_intervals():
+    """DRI + RSTn inside progressive scans: EOB runs flush and byte-
+    align at each boundary, DC predictors reset — still bit-identical
+    to the baseline decode of the same planes."""
+    rng = np.random.default_rng(31)
+    y = rng.integers(0, 256, (32, 32), np.uint8)
+    cb = rng.integers(0, 256, (16, 16), np.uint8)
+    cr = rng.integers(0, 256, (16, 16), np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_planes([y, cb, cr],
+                                              subsample="420"))
+    for ri in (1, 2, 3):
+        data = J.encode_jpeg_progressive([y, cb, cr], subsample="420",
+                                         restart_interval=ri)
+        assert b"\xff\xdd" in data
+        assert any(bytes([0xFF, 0xD0 + m]) in data for m in range(8))
+        assert (J.decode_jpeg(data) == base).all(), ri
+    g = [rng.integers(0, 256, (24, 40), dtype=np.uint8)]
+    gb = J.decode_jpeg(J.encode_jpeg_planes(g))
+    for ri in (1, 4):
+        assert (J.decode_jpeg(J.encode_jpeg_progressive(
+            g, restart_interval=ri)) == gb).all(), ri
