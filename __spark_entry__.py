@@ -1200,6 +1200,22 @@ def q_postings(spark, sf_dir):
     return retrieval.build_postings(docs.select("doc_id", "text"))
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) cardinality sketch: per-event-type
+    distinct-user estimates from the k smallest md5-derived 60-bit
+    hashes — the planning sketch run before choosing partition counts
+    or dedup key spaces. Unlike HLL, the estimate is a pure function
+    of the data (same k minima in any engine), so it hash-matches the
+    DuckDB oracle exactly. One (group, hash) distinct partial agg;
+    min-k selection is salted two-phase so no hot group is ever fully
+    sorted."""
+    from geotiff_processor_spark.operators import sketch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketch.kmv_distinct(
+        events, "cast(user_id as string)", ["event_type"], k=128)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus term-frequency top-100 (tokenizer-training vocab scan):
     one vocabulary-bounded shuffle after map-side partial aggregation,
@@ -1350,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "bm25": q_bm25,
         "postings": q_postings,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1642,6 +1659,9 @@ GROUP BY w.doc_id"""
         sql_bm25, sql_postings)
     sql["bm25"] = sql_bm25(BM25_TERMS)
     sql["postings"] = sql_postings()
+    from geotiff_processor_spark.operators.sketch import sql_kmv_distinct
+    sql["kmv_distinct"] = sql_kmv_distinct(
+        "cast(user_id as varchar)", "events", ["event_type"], k=128)
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
         f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"

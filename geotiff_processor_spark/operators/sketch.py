@@ -1,0 +1,104 @@
+"""Deterministic cardinality sketch (KMV / k-minimum-values).
+
+Distinct-count estimation (Bar-Yossef et al. 2002, public literature)
+— the planning sketch a 100 TB pipeline runs BEFORE choosing partition
+counts, join strategies or dedup key spaces. Unlike HLL (whose
+register layout is engine-specific, so Spark's approx_count_distinct
+can never hash-match another engine), KMV over an explicit md5-derived
+hash is a pure function of the data: both engines compute the SAME
+k minimum 60-bit hashes and the SAME estimate, so the operator is
+fully oracle-checkable like everything else in this repo.
+
+Estimator: with m = k-th smallest of the distinct keys' uniform
+60-bit hashes, E[distinct] ~ (k-1) * 2^60 / m; groups holding fewer
+than k distinct keys report their exact count (the standard small-
+cardinality fallback).
+
+Scale shape: ONE corpus-sized exchange — the (group, hash) distinct
+partial agg (md5 computed map-side; key text never shuffles beyond
+that agg's own key). The min-k selection is TWO-PHASE: a salted local
+top-k bounds every window sort to ~k * distinct/(salts) rows, then a
+global top-k runs over <= k * n_salts candidates per group — exactly
+equal to a direct min-k (every global top-k element is in its salt
+bucket's top-k), without ever sorting a whole hot group (the skew
+hazard of naive per-group windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import sql_hash60
+
+TWO60 = float(2 ** 60)
+
+
+def kmv_distinct(df: DataFrame, key_col: str,
+                 group_cols: list[str] | None = None,
+                 k: int = 64, n_salts: int = 8,
+                 round_to: int = 6) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Returns (group_cols..., n_min bigint, est_distinct double):
+    n_min = number of retained minimum hashes (== k, or the exact
+    distinct count when smaller), est_distinct = (k-1)*2^60/m rounded,
+    or the exact count when n_min < k.
+    """
+    groups = list(group_cols or [])
+    hashed = (df
+              .select(*groups,
+                      F.expr(sql_hash60(key_col)).alias("h"))
+              .distinct())
+    # phase 1: per (group, salt) local min-k — bounds every sort
+    salt = (F.pmod(F.col("h"), F.lit(n_salts))).cast("int")
+    w_local = Window.partitionBy(*groups, "salt").orderBy("h")
+    local = (hashed.withColumn("salt", salt)
+             .withColumn("rn", F.row_number().over(w_local))
+             .filter(F.col("rn") <= k)
+             .drop("rn", "salt"))
+    # phase 2: global min-k over <= k * n_salts candidates per group
+    w_glob = Window.partitionBy(*groups).orderBy("h")
+    kept = (local.withColumn("rn", F.row_number().over(w_glob))
+            .filter(F.col("rn") <= k).drop("rn"))
+    agg_keys = groups if groups else [F.lit(1).alias("_g")]
+    out = (kept.groupBy(*agg_keys)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_min"),
+                F.max("h").alias("m")))
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(TWO60)
+                / F.col("m").cast("double"), round_to))
+    out = out.withColumn("est_distinct", est).drop("m")
+    if not groups:
+        out = out.drop("_g")
+    return out
+
+
+def sql_kmv_distinct(key_expr: str, table: str,
+                     group_cols: list[str] | None = None,
+                     k: int = 64, round_to: int = 6,
+                     where: str = "") -> str:
+    """The identical estimate as DuckDB SQL (single-phase min-k — the
+    salted two-phase is exactly equal by construction)."""
+    groups = list(group_cols or [])
+    gsel = ", ".join(groups) + (", " if groups else "")
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    h = sql_hash60(key_expr, dialect="duckdb")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {gsel}{h} AS h FROM {table} {where}
+), ranked AS (
+  SELECT {gsel}h,
+         row_number() OVER ({part} ORDER BY h) AS rn
+  FROM hashed
+)
+SELECT {gsel}cast(count(*) as bigint) AS n_min,
+       CASE WHEN count(*) < {k} THEN cast(count(*) as double)
+            ELSE round({float(k - 1)} * {TWO60!r}
+                       / cast(max(h) as double), {round_to})
+       END AS est_distinct
+FROM ranked WHERE rn <= {k} {gby}
+"""

@@ -1,0 +1,57 @@
+"""KMV cardinality sketch: exact cross-engine agreement, estimator
+quality, small-group exact fallback, two-phase == single-phase."""
+
+import duckdb
+
+from geotiff_processor_spark.operators.sketch import (
+    kmv_distinct, sql_kmv_distinct)
+from geotiff_processor_spark.testing import duck_norm, spark_norm
+
+
+def test_kmv_matches_duckdb_grouped(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM"
+            f" '{sf_dir}/events.parquet'")
+    sc, sr = spark_norm(kmv_distinct(
+        ev, "cast(user_id as string)", ["event_type"], k=128))
+    dc, dr = duck_norm(con, sql_kmv_distinct(
+        "cast(user_id as varchar)", "events", ["event_type"], k=128))
+    assert sc == dc and sr == dr
+    assert len(sr) > 0
+
+
+def test_kmv_estimator_quality_and_exact_fallback(spark):
+    rows = [(i, f"u{i % 997}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "i bigint, u string")
+    out = kmv_distinct(df, "u", k=256).collect()
+    assert len(out) == 1
+    est = out[0]["est_distinct"]
+    assert out[0]["n_min"] == 256
+    assert abs(est - 997) / 997 < 0.25  # ~4 sigma at k=256
+    # fewer distinct keys than k: exact count, not an estimate
+    small = spark.createDataFrame(
+        [(i, f"v{i % 10}") for i in range(100)], "i bigint, u string")
+    o2 = kmv_distinct(small, "u", k=64).collect()[0]
+    assert o2["n_min"] == 10 and o2["est_distinct"] == 10.0
+
+
+def test_kmv_two_phase_equals_direct_min_k(spark):
+    """The salted local top-k then global top-k must select EXACTLY
+    the global k minimum hashes (set equality, any n_salts)."""
+    from pyspark.sql import functions as F
+    from geotiff_processor_spark.operators.dedup import sql_hash60
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "u string")
+    direct = sorted(
+        r["h"] for r in df.select(
+            F.expr(sql_hash60("u")).alias("h")).distinct().collect())[:32]
+    for n_salts in (1, 4, 16):
+        got = kmv_distinct(df, "u", k=32, n_salts=n_salts).collect()[0]
+        # reconstruct the kept max == k-th smallest direct hash
+        assert got["n_min"] == 32
+        est = got["est_distinct"]
+        import math
+        exp = round(31 * 2.0 ** 60 / float(direct[31]), 6)
+        assert est == exp, n_salts
