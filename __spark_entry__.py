@@ -1200,6 +1200,23 @@ def q_postings(spark, sf_dir):
     return retrieval.build_postings(docs.select("doc_id", "text"))
 
 
+def q_extract_text(spark, sf_dir):
+    """WARC text extraction: html binary -> text via the native
+    tag-strip pipeline (script/style elements dropped with content,
+    tags stripped, standard entities unescaped — ONE codegen
+    projection, no Python). ``matches`` pins BASELINE.json's
+    byte-identical-extracted-text-per-url invariant row by row; the
+    oracle runs the identical rules in DuckDB on the reconstructed
+    html string."""
+    from geotiff_processor_spark.functions.text import extract_text
+
+    pages = synth.build_pages_staged(spark, sf_dir, with_html=True)
+    return pages.select(
+        "url",
+        extract_text("html").alias("extracted"),
+        (extract_text("html") == F.col("text")).alias("matches"))
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV (k-minimum-values) cardinality sketch: per-event-type
     distinct-user estimates from the k smallest md5-derived 60-bit
@@ -1367,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "postings": q_postings,
         "kmv_distinct": q_kmv_distinct,
+        "extract_text": q_extract_text,
     }
 
 
@@ -1662,6 +1680,13 @@ GROUP BY w.doc_id"""
     from geotiff_processor_spark.operators.sketch import sql_kmv_distinct
     sql["kmv_distinct"] = sql_kmv_distinct(
         "cast(user_id as varchar)", "events", ["event_type"], k=128)
+    from geotiff_processor_spark.functions.text import sql_extract_text
+    _html = "concat('<html><body><p>', text, '</p></body></html>')"
+    sql["extract_text"] = (
+        "WITH " + synth.pages_cte("duckdb")
+        + f"\nSELECT url, {sql_extract_text(_html)} AS extracted,"
+        f" ({sql_extract_text(_html)} = text) AS matches FROM pages"
+    )
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
         f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"

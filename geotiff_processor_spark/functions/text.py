@@ -85,3 +85,44 @@ def sql_quality_cols(text: str, dialect: str = "duckdb") -> dict[str, str]:
             f"cast(greatest({n_tokens}, 1) as double), 6)"
         ),
     }
+
+
+def sql_extract_text(html: str, dialect: str = "duckdb") -> str:
+    """HTML -> text extraction as a native expression (the WARC
+    text-extraction stage; input_hint's byte-identical-text-per-url
+    invariant is checked against this).
+
+    Rules (the classic tag-strip pipeline, one codegen projection —
+    never a per-row Python UDF):
+    1. drop <script>/<style> elements INCLUDING their content
+       (separate rules — RE2 has no backreferences);
+    2. strip every remaining tag;
+    3. unescape the five standard entities, ampersand LAST.
+
+    Dialect notes: Spark regexes take inline (?is) flags and replace
+    globally by default; DuckDB (RE2) takes a flag string and needs
+    the explicit 'g'.
+    """
+    if dialect == "spark":
+        t = f"cast({html} as string)"
+        t = (f"regexp_replace({t},"
+             " '(?is)<script[^>]*>.*?</script>', ' ')")
+        t = (f"regexp_replace({t},"
+             " '(?is)<style[^>]*>.*?</style>', ' ')")
+        t = f"regexp_replace({t}, '(?s)<[^>]*>', '')"
+    else:
+        t = f"cast({html} as varchar)"
+        t = (f"regexp_replace({t},"
+             " '<script[^>]*>.*?</script>', ' ', 'gis')")
+        t = (f"regexp_replace({t},"
+             " '<style[^>]*>.*?</style>', ' ', 'gis')")
+        t = f"regexp_replace({t}, '<[^>]*>', '', 'gs')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "''"),
+                    ("&amp;", "&")):
+        t = f"replace({t}, '{ent}', '{ch}')"
+    return t
+
+
+def extract_text(html: str = "html") -> Column:
+    return F.expr(sql_extract_text(html, dialect="spark"))

@@ -301,3 +301,32 @@ def test_vocab_topk_counts_and_tiebreak(spark):
 def test_vocab_topk_tie_broken_by_token(spark):
     rows = textprep.vocab_topk(_docs(spark, [(1, "z y z y")]), k=2).collect()
     assert [(r.tok, r.rank) for r in rows] == [("y", 1), ("z", 2)]
+
+
+def test_extract_text_byte_identical_and_general(spark, sf_dir):
+    """The native tag-strip extraction reproduces the pages table's
+    text column byte-for-byte (BASELINE.json per-row invariant), and
+    handles script/style/entities on adversarial html."""
+    import duckdb
+
+    from geotiff_processor_spark.functions.text import (
+        extract_text, sql_extract_text)
+    from geotiff_processor_spark.sources import synth
+
+    pages = synth.build_pages_staged(spark, sf_dir, with_html=True)
+    bad = pages.filter(
+        extract_text("html") != F.col("text")).count()
+    assert bad == 0
+    gnarly = ('<html><head><style a="b">p {c: &amp;}</style></head>'
+              '<body onload="x()"><script>if (1 < 2) { y("</p>"); }'
+              '</script><p>A &amp; &quot;B&#39;s&quot; &lt;c&gt;</p>'
+              '<SCRIPT>s <b>t</b></SCRIPT><div>line</div></body></html>')
+    df = spark.createDataFrame(
+        [(1, bytearray(gnarly.encode()))], "i int, html binary")
+    got = df.select(extract_text("html").alias("t")).collect()[0]["t"]
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT {sql_extract_text(repr(gnarly))}").fetchone()[0]
+    con.close()
+    assert got == want
+    assert "script" not in got and "<" in got and "&" in got
