@@ -1278,7 +1278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # outline_multipolygon: merges the per-component rings that
     # outline_components (checked, same CC + ring-trace machinery and
     # oracle family) already validates — rotated out in round 4 so the
-    # NEW decode_video real-codec operator gets a driver row; set_ops:
+    # NEW decode_video real-codec operator got a driver row (r4-green;
+    # rotated to the tail in round 5 for extract_text, which pins
+    # BASELINE.json's byte-identical-text-per-url invariant — a rule
+    # nothing else covers — while decode_jpeg/decode_gif/decode_audio
+    # keep the grouped Arrow decode rule checked three ways); set_ops:
     # plain INTERSECT/EXCEPT ALL built-ins, green since round 1 —
     # rotated out so the NEW substr_dedup (ExactSubstr) operator gets
     # a driver row; lineage_metrics: metadata reporting green and
@@ -1318,7 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "pagerank": q_pagerank,
         "outline_components": q_outline_components,
-        "decode_video": q_decode_video,
+        "extract_text": q_extract_text,
         "media_meta": q_media_meta,
         "decode_gif": q_decode_gif,
         "bpe_merges": q_bpe_merges,
@@ -1384,7 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "postings": q_postings,
         "kmv_distinct": q_kmv_distinct,
-        "extract_text": q_extract_text,
+        "decode_video": q_decode_video,
     }
 
 

@@ -47,11 +47,14 @@ def test_driver_checked_prefix_covers_distinct_operators():
         # round-5 rotation: decode_gif and decode_audio were never
         # driver-checked in r1-r4 (VERDICT r4 item 1); decode_jpeg keeps
         # the grouped Arrow decode rule covered while decode_images sits
-        # in the tail, and minhash_sigs moved to the tail (its signature
-        # stage is embedded in the checked minhash_candidates pipeline)
-        "decode_gif", "decode_audio",
+        # in the tail, minhash_sigs moved to the tail (its signature
+        # stage is embedded in the checked minhash_candidates pipeline),
+        # and decode_video (r4-green, same grouped-decode rule) yielded
+        # its slot to extract_text, which pins BASELINE.json's
+        # byte-identical-text-per-url invariant
+        "decode_gif", "decode_audio", "extract_text",
         # round-4 additions
-        "decode_video", "substr_dedup", "bpe_merges", "flagship_stream",
+        "substr_dedup", "bpe_merges", "flagship_stream",
         "pagerank", "streaming_dedup",
         # one representative per long-standing family
         "pip_count", "pip_general", "knn", "zonal_stats", "hillshade",
