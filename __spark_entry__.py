@@ -1217,6 +1217,21 @@ def q_extract_text(spark, sf_dir):
         (extract_text("html") == F.col("text")).alias("matches"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): rightmost-minimum selection over every w-window
+    of k-gram md5s, giving guaranteed-coverage sketches at ~2/(w+1)
+    density. Gram text never shuffles (md5 map-side from the token
+    array); ONE doc-keyed exchange feeds the position window; the
+    tie-break runs as a lexicographic window-min identical in both
+    engines. Also pinned against an independent brute-force
+    implementation in tests."""
+    from geotiff_processor_spark.operators import textprep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textprep.winnow_fingerprints(docs.select("doc_id", "text"))
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV (k-minimum-values) cardinality sketch: per-event-type
     distinct-user estimates from the k smallest md5-derived 60-bit
@@ -1388,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "postings": q_postings,
         "kmv_distinct": q_kmv_distinct,
+        "winnow": q_winnow,
         "decode_video": q_decode_video,
     }
 
@@ -1684,6 +1700,8 @@ GROUP BY w.doc_id"""
     from geotiff_processor_spark.operators.sketch import sql_kmv_distinct
     sql["kmv_distinct"] = sql_kmv_distinct(
         "cast(user_id as varchar)", "events", ["event_type"], k=128)
+    from geotiff_processor_spark.operators.textprep import sql_winnow
+    sql["winnow"] = sql_winnow()
     from geotiff_processor_spark.functions.text import sql_extract_text
     _html = "concat('<html><body><p>', text, '</p></body></html>')"
     sql["extract_text"] = (

@@ -29,7 +29,7 @@ the differential oracle reproduces values bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geotiff_processor_spark.operators.dedup import sql_hash60
@@ -308,3 +308,89 @@ def vocab_topk(docs: DataFrame, text_col: str = "text",
     return top.select(
         "tok", "n",
         F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def winnow_fingerprints(docs: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the
+    MOSS local-fingerprinting algorithm): from each window of ``w``
+    consecutive k-gram hashes keep the minimum (rightmost on ties);
+    the distinct selected (position, hash) pairs are the document's
+    fingerprint set. Guarantees a fingerprint in every w-gram window
+    (detection threshold t = w + k - 1 tokens) at ~2/(w+1) density —
+    the standard sketch for plagiarism / near-dup detection at corpus
+    scale.
+
+    Spark shape: gram md5s are computed map-side from the token array
+    (gram TEXT never shuffles); ONE doc-keyed exchange feeds the
+    per-doc position window; the rightmost-minimum rule runs as a
+    lexicographic window-min over ``md5hex || zero-padded inverted
+    position`` (string min == (hash asc, position desc) — the exact
+    tie-break), identical text in both engines; the final distinct is
+    bounded by the fingerprint density, not the gram count.
+
+    Returns (key, fp_pos int, fp_hash string) distinct fingerprints.
+    """
+    toks = docs.select(
+        F.col(key_col).alias("key"),
+        F.split(F.col(text_col), " ").alias("t"))
+    grams = toks.select(
+        "key",
+        F.expr(
+            f"transform(sequence(0, size(t) - {k}),"
+            f" p -> struct(p as pos,"
+            f" md5(array_join(slice(t, p + 1, {k}), ' ')) as gh))"
+        ).alias("gs")).select("key", F.explode("gs").alias("g"))
+    # inverted position, zero-padded so string order == numeric desc
+    keyed = grams.select(
+        "key", F.col("g.pos").alias("pos"),
+        F.col("g.gh").alias("gh"),
+        F.concat(F.col("g.gh"),
+                 F.lpad(F.lit(999_999_999) - F.col("g.pos"), 9, "0")
+                 .cast("string")).alias("sel"))
+    win = (Window.partitionBy("key").orderBy("pos")
+           .rowsBetween(-(w - 1), 0))
+    picked = (keyed
+              .withColumn("winmin", F.min("sel").over(win))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("key").orderBy("pos")))
+              .filter(F.col("rn") >= w)  # only full windows select
+              .select(
+                  "key",
+                  (F.lit(999_999_999)
+                   - F.substring("winmin", 33, 9).cast("int"))
+                  .alias("fp_pos"),
+                  F.substring("winmin", 1, 32).alias("fp_hash"))
+              .distinct())
+    return picked.withColumnRenamed("key", key_col)
+
+
+def sql_winnow(table: str = "documents", key_col: str = "doc_id",
+               text_col: str = "text", k: int = 5, w: int = 4) -> str:
+    """The identical selection as DuckDB SQL (oracle half)."""
+    return f"""
+WITH toks AS (
+  SELECT {key_col} AS key, string_split({text_col}, ' ') AS t
+  FROM {table}
+), grams AS (
+  SELECT key, p.pos AS pos, p.gh AS gh
+  FROM toks, unnest([{{'pos': x - 1,
+        'gh': md5(array_to_string(t[x : x + {k} - 1], ' '))}}
+        for x in range(1, len(t) - {k} + 2)]) AS u(p)
+), keyed AS (
+  SELECT key, pos, gh,
+         gh || lpad(cast(999999999 - pos as varchar), 9, '0') AS sel,
+         row_number() OVER (PARTITION BY key ORDER BY pos) AS rn,
+         min(gh || lpad(cast(999999999 - pos as varchar), 9, '0'))
+             OVER (PARTITION BY key ORDER BY pos
+                   ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+           AS winmin
+  FROM grams
+)
+SELECT DISTINCT key AS {key_col},
+       cast(999999999 - cast(substring(winmin, 33, 9) as bigint)
+            as integer) AS fp_pos,
+       substring(winmin, 1, 32) AS fp_hash
+FROM keyed WHERE rn >= {w}
+"""

@@ -330,3 +330,57 @@ def test_extract_text_byte_identical_and_general(spark, sf_dir):
     con.close()
     assert got == want
     assert "script" not in got and "<" in got and "&" in got
+
+
+def test_winnow_matches_duckdb_and_bruteforce(spark, sf_dir):
+    """Winnowing selection: exact cross-engine agreement AND agreement
+    with an independent brute-force reference (rightmost-min rule)."""
+    import duckdb
+    import hashlib
+
+    from geotiff_processor_spark.operators.textprep import (
+        sql_winnow, winnow_fingerprints)
+    from geotiff_processor_spark.testing import duck_norm, spark_norm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM"
+            f" '{sf_dir}/documents.parquet'")
+    sc, sr = spark_norm(winnow_fingerprints(docs))
+    dc, dr = duck_norm(con, sql_winnow())
+    assert sc == dc and sr == dr and len(sr) > 0
+    con.close()
+    k, w = 5, 4
+    for row in docs.limit(3).collect():
+        t = row["text"].split(" ")
+        ghs = [hashlib.md5(" ".join(t[p:p + k]).encode()).hexdigest()
+               for p in range(len(t) - k + 1)]
+        want = set()
+        for q in range(w - 1, len(ghs)):
+            h, negp = min((ghs[p], -p) for p in range(q - w + 1, q + 1))
+            want.add((-negp, h))
+        got = {(r["fp_pos"], r["fp_hash"]) for r in winnow_fingerprints(
+            docs.filter(F.col("doc_id") == row["doc_id"])).collect()}
+        assert got == want, row["doc_id"]
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Every w-gram window contains a fingerprint position (the
+    winnowing guarantee) and density stays near 2/(w+1)."""
+    from geotiff_processor_spark.operators.textprep import (
+        winnow_fingerprints)
+
+    import random
+    rnd = random.Random(7)
+    words = " ".join(rnd.choice("abcdefgh") for _ in range(400))
+    df = spark.createDataFrame([(1, words)], "doc_id bigint, text string")
+    k, w = 5, 4
+    fps = sorted(r["fp_pos"] for r in
+                 winnow_fingerprints(df, k=k, w=w).collect())
+    n_grams = 400 - k + 1
+    # guarantee: consecutive selected positions never gap by > w
+    assert fps[0] <= w - 1 and n_grams - 1 - fps[-1] <= w - 1
+    assert max(b - a for a, b in zip(fps, fps[1:])) <= w
+    density = len(fps) / n_grams
+    assert 0.25 <= density <= 0.75  # 2/(w+1) = 0.4 nominal
