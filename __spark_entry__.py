@@ -893,6 +893,26 @@ def q_reproject_lcc(spark, sf_dir):
     return R.reproject_lcc(src, "x_lcc", "y_lcc")
 
 
+def q_reproject_albers(spark, sf_dir):
+    """Arbitrary-CRS ingest, equal-area family: EPSG:5070 NAD83/Conus
+    Albers (GRS80) metres -> lon/lat via the closed-form Snyder
+    inverse with the AUTHALIC-latitude series — the standard US
+    equal-area analysis grid, completing the conic family with the
+    equal-area sibling of LCC. Native expressions only; round-trip
+    pinned against an independent numpy forward in tests."""
+    import os
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = events.select(F.col("event_id").alias("i")).select(
+        F.expr(synth.SQL_URL).alias("url"),
+        F.expr(f"cast({R.SQL_ALB_X} as bigint)").alias("x_alb"),
+        F.expr(f"cast({R.SQL_ALB_Y} as bigint)").alias("y_alb"),
+    )
+    return R.reproject_albers(src, "x_alb", "y_alb")
+
+
 def q_reproject_ps(spark, sf_dir):
     """Arbitrary-CRS ingest, third family: south polar stereographic
     (EPSG:3031-style Antarctic grid, variant B with standard parallel)
@@ -1404,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "kmv_distinct": q_kmv_distinct,
         "winnow": q_winnow,
+        "reproject_albers": q_reproject_albers,
         "decode_video": q_decode_video,
     }
 
@@ -2020,6 +2041,16 @@ l0 AS (
 ),
 {R.lcc_inverse_cte('l0', ['url'])}
 SELECT url, x_lcc, y_lcc, lon, lat FROM lcc_ll"""
+
+    sql["reproject_albers"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
+a0 AS (
+  SELECT {synth.SQL_URL} AS url,
+    cast({R.SQL_ALB_X} as bigint) AS x_alb,
+    cast({R.SQL_ALB_Y} as bigint) AS y_alb
+  FROM p0
+),
+{R.albers_inverse_cte('a0', ['url'])}
+SELECT url, x_alb, y_alb, lon, lat FROM alb_ll"""
 
     sql["reproject_ps"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
 s0 AS (

@@ -723,9 +723,13 @@ def reproject_epsg(df: DataFrame, epsg: int, x: str, y: str,
         ellipsoids differ by ~1e-9 in 1/f (sub-0.1 mm on the ground),
         far inside the round_digits=6 (~0.1 m) output quantum. (The
         UTM family above does carry the true GRS80 constants.)
+      - 5070: NAD83 / Conus Albers equal-area (GRS80) — the standard
+        US analysis grid
       - 4326: passthrough (source already lon/lat)
     Anything else: pyproj Arrow UDF (``make_pyproj_inverse_pandas_udf``).
     """
+    if epsg == 5070:
+        return reproject_albers(df, x, y, round_digits=round_digits)
     if epsg in LCC_EPSG:
         return reproject_lcc(df, x, y, round_digits=round_digits,
                              **LCC_EPSG[epsg])
@@ -816,3 +820,178 @@ def make_utm_inverse_pandas_udf(zone: int = 21, south: bool = True,
         })
 
     return utm_inverse_udf
+
+
+# ---------------------------------------------------------------------------
+# Albers equal-area conic (2 standard parallels) — the standard CONUS
+# analysis grid (EPSG:5070 NAD83/GRS80) and the equal-area sibling of
+# the LCC family above; zonal statistics on an equal-area grid is the
+# raster-analysis default. Same design rules: constants inlined via
+# repr, identical SQL text in both engines, inverse closed-form with
+# the authalic-latitude series. Formulation: Snyder, USGS PP 1395,
+# eqs 14-1..14-21 and 3-12/3-16/3-18 (public domain).
+# ---------------------------------------------------------------------------
+
+def _ecc(inv_f: float) -> float:
+    f = 1.0 / inv_f
+    return math.sqrt(f * (2.0 - f))
+
+
+def _alb_m(phi: float, e: float) -> float:
+    """m = cos(phi)/sqrt(1 - e^2 sin^2 phi) (Snyder 14-15)."""
+    return math.cos(phi) / math.sqrt(1.0 - (e * math.sin(phi)) ** 2)
+
+
+def _alb_q(phi: float, e: float) -> float:
+    """q(phi) (Snyder 3-12)."""
+    s = math.sin(phi)
+    return (1.0 - e * e) * (
+        s / (1.0 - (e * s) ** 2)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+def albers_constants(lat1: float, lat2: float, lat0: float,
+                     a: float, e: float
+                     ) -> tuple[float, float, float, float]:
+    """(n, C, rho0, q_p) (Snyder 14-14/14-13/14-12a and q at the
+    pole)."""
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1, m2 = _alb_m(p1, e), _alb_m(p2, e)
+    q1, q2, q0 = (_alb_q(p, e) for p in (p1, p2, p0))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(c - n * q0) / n
+    q_p = _alb_q(HALF_PI, e)
+    return n, c, rho0, q_p
+
+
+# EPSG:5070 — NAD83 / Conus Albers (GRS80): THE standard US
+# continental equal-area analysis grid
+ALBERS_5070 = {"lat1": 29.5, "lat2": 45.5, "lat0": 23.0, "lon0": -96.0,
+               "fe": 0.0, "fn": 0.0, "a": GRS80_ELL.a,
+               "e": _ecc(GRS80_ELL.inv_f)}
+
+
+def _alb(params: dict | None) -> dict:
+    return dict(ALBERS_5070, **(params or {}))
+
+
+def sql_albers_rho_theta(x: str, y: str,
+                         params: dict | None = None
+                         ) -> tuple[str, str]:
+    """(rho, theta) exprs (Snyder 14-10/14-11, sign(n)-adjusted)."""
+    p = _alb(params)
+    n, _, rho0, _ = albers_constants(p["lat1"], p["lat2"], p["lat0"],
+                                     p["a"], p["e"])
+    sgn = 1.0 if n > 0 else -1.0
+    xp = f"({x} - {_d(p['fe'])})"
+    yp = f"({_d(rho0)} - ({y} - {_d(p['fn'])}))"
+    rho = f"({_d(sgn)} * sqrt({xp} * {xp} + {yp} * {yp}))"
+    theta = f"atan2({_d(sgn)} * {xp}, {_d(sgn)} * {yp})"
+    return rho, theta
+
+
+def sql_albers_q(rho: str, params: dict | None = None) -> str:
+    """q = (C - (rho n / a)^2) / n (Snyder 14-19)."""
+    p = _alb(params)
+    n, c, _, _ = albers_constants(p["lat1"], p["lat2"], p["lat0"],
+                                  p["a"], p["e"])
+    rn = f"({rho} * {_d(n / p['a'])})"
+    return f"(({_d(c)} - {rn} * {rn}) / {_d(n)})"
+
+
+def sql_albers_lat(q: str, params: dict | None = None) -> str:
+    """Authalic latitude beta = asin(q/q_p) then the series to
+    geographic phi (Snyder 3-18), degrees (unrounded). The asin
+    argument is clamped for floating-point edge rows at the pole."""
+    p = _alb(params)
+    _, _, _, q_p = albers_constants(p["lat1"], p["lat2"], p["lat0"],
+                                    p["a"], p["e"])
+    e2 = p["e"] ** 2
+    c2 = e2 / 3.0 + 31.0 * e2 ** 2 / 180.0 + 517.0 * e2 ** 3 / 5040.0
+    c4 = 23.0 * e2 ** 2 / 360.0 + 251.0 * e2 ** 3 / 3780.0
+    c6 = 761.0 * e2 ** 3 / 45360.0
+    beta = (f"asin(least(greatest({q} / {_d(q_p)}, -1.0), 1.0))")
+    return (f"((({beta}) + {_d(c2)} * sin(2 * ({beta}))"
+            f" + {_d(c4)} * sin(4 * ({beta}))"
+            f" + {_d(c6)} * sin(6 * ({beta}))) * {_d(RAD2DEG)})")
+
+
+def sql_albers_lon(theta: str, params: dict | None = None) -> str:
+    p = _alb(params)
+    n, _, _, _ = albers_constants(p["lat1"], p["lat2"], p["lat0"],
+                                  p["a"], p["e"])
+    return f"({_d(p['lon0'])} + ({theta} / {_d(n)}) * {_d(RAD2DEG)})"
+
+
+def albers_inverse_cte(src: str, id_cols: list[str],
+                       x: str = "x_alb", y: str = "y_alb",
+                       params: dict | None = None,
+                       round_digits: int = 6) -> str:
+    """CTE chain ``a1 .. alb_ll``: Albers metres -> lon/lat degrees;
+    identical text in Spark SQL and DuckDB."""
+    ids = ", ".join(id_cols)
+    rho, theta = sql_albers_rho_theta(x, y, params)
+    return f"""a1 AS (
+  SELECT {ids}, {x}, {y}, {rho} AS rho, {theta} AS theta
+  FROM {src}
+),
+a2 AS (
+  SELECT {ids}, {x}, {y}, theta,
+    {sql_albers_q('rho', params)} AS q
+  FROM a1
+),
+alb_ll AS (
+  SELECT {ids}, {x}, {y},
+    round({sql_albers_lon('theta', params)}, {round_digits}) AS lon,
+    round({sql_albers_lat('q', params)}, {round_digits}) AS lat
+  FROM a2
+)"""
+
+
+# deterministic Albers-coordinate synthesis from an integer id `i`
+# (a CONUS-sized box in EPSG:5070 metres)
+SQL_ALB_X = "((i * 7919) % 4000000 - 2000000)"
+SQL_ALB_Y = "((i * 104729) % 2800000 + 300000)"
+
+
+def reproject_albers(df: DataFrame, x: str = "x_alb", y: str = "y_alb",
+                     params: dict | None = None,
+                     round_digits: int = 6) -> DataFrame:
+    """Append lon/lat (degrees, rounded) to a DataFrame of Albers
+    coords — native expressions only, stage-for-stage the same text as
+    ``albers_inverse_cte``."""
+    rho, theta = sql_albers_rho_theta(x, y, params)
+    return (
+        df.withColumn("rho", F.expr(rho))
+        .withColumn("theta", F.expr(theta))
+        .withColumn("q", F.expr(sql_albers_q("rho", params)))
+        .withColumn("lon", F.expr(
+            f"round({sql_albers_lon('theta', params)}, {round_digits})"))
+        .withColumn("lat", F.expr(
+            f"round({sql_albers_lat('q', params)}, {round_digits})"))
+        .drop("rho", "theta", "q")
+    )
+
+
+def np_albers_forward(lon: np.ndarray, lat: np.ndarray,
+                      params: dict | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Independent numpy FORWARD Albers (Snyder 14-1..14-4) — the
+    round-trip reference for the SQL inverse (different formula path:
+    forward uses q directly, inverse recovers phi via the authalic
+    series)."""
+    p = _alb(params)
+    n, c, rho0, _ = albers_constants(p["lat1"], p["lat2"], p["lat0"],
+                                     p["a"], p["e"])
+    e = p["e"]
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    q = (1.0 - e * e) * (s / (1.0 - (e * s) ** 2)
+                         - (1.0 / (2.0 * e))
+                         * np.log((1.0 - e * s) / (1.0 + e * s)))
+    rho = p["a"] * np.sqrt(c - n * q) / n
+    theta = n * np.radians(lon - p["lon0"])
+    xo = p["fe"] + rho * np.sin(theta)
+    yo = p["fn"] + rho0 - rho * np.cos(theta)
+    return xo, yo

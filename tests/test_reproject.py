@@ -438,3 +438,55 @@ def test_grs80_spark_matches_duckdb_cte(spark, duck):
     for i, lo, la in duck.execute(
             f"WITH {cte} SELECT i, lon, lat FROM utm_ll").fetchall():
         assert got[i] == (lo, la), i
+
+
+def test_albers_roundtrip_independent_forward(spark):
+    """SQL Albers inverse (authalic-latitude series) recovers an
+    INDEPENDENT numpy forward (direct q) to < 1e-7 degrees across
+    CONUS, and the origin maps to (0, 0) in EPSG:5070."""
+    import numpy as np
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    lon = np.array([-120.5, -96.0, -75.25, -89.123456, -66.9, -115.0])
+    lat = np.array([32.7, 23.0, 45.5, 29.5, 48.99, 41.1])
+    x, y = R.np_albers_forward(lon, lat)
+    df = spark.createDataFrame(
+        [(int(i), float(x[i]), float(y[i])) for i in range(len(lon))],
+        "i int, x_alb double, y_alb double")
+    out = {r["i"]: (r["lon"], r["lat"]) for r in
+           R.reproject_albers(df, round_digits=9).collect()}
+    for i in range(len(lon)):
+        assert abs(out[i][0] - lon[i]) < 1e-7, i
+        assert abs(out[i][1] - lat[i]) < 1e-7, i
+    x0, y0 = R.np_albers_forward(np.array([-96.0]), np.array([23.0]))
+    assert abs(float(x0[0])) < 1e-6 and abs(float(y0[0])) < 1e-6
+
+
+def test_albers_equal_area_property(spark):
+    """The projection really is equal-area: the Jacobian of the numpy
+    forward (finite differences) matches the ellipsoidal area element
+    to ~1e-6 relative everywhere in the grid box — a property a
+    conformal (LCC) implementation mislabeled as Albers would fail."""
+    import math
+
+    import numpy as np
+
+    from geotiff_processor_spark.functions import reproject as R
+
+    p = R.ALBERS_5070
+    a, e = p["a"], p["e"]
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-120, -70, 50)
+    lat = rng.uniform(25, 48, 50)
+    d = 1e-5  # degrees
+    x0, y0 = R.np_albers_forward(lon, lat)
+    xl, yl = R.np_albers_forward(lon + d, lat)
+    xp, yp = R.np_albers_forward(lon, lat + d)
+    jac = np.abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) \
+        / (np.radians(d) ** 2)
+    phi = np.radians(lat)
+    sin2 = (e * np.sin(phi)) ** 2
+    area_elem = (a ** 2 * (1 - e * e) * np.cos(phi)) / (1 - sin2) ** 2
+    rel = np.abs(jac - area_elem) / area_elem
+    assert float(rel.max()) < 1e-5
