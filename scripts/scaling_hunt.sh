@@ -23,14 +23,14 @@ for i in $(seq 1 400); do
     break
   done
   # prioritize the job with less clean evidence; shuffle first (new)
-  if [ $CLEAN_SHUF -lt 12 ]; then JOB=shuffle; else JOB=flagship; fi
+  if [ $CLEAN_SHUF -lt 30 ]; then JOB=shuffle; else JOB=flagship; fi
   python scripts/scaling_attempt.py 120 $JOB >> /tmp/scaling_hunt.log 2>&1
   rc=$?
   echo "iter=$i job=$JOB rc=$rc $(date -u +%H:%M:%S)" >> /tmp/scaling_hunt.log
   if [ $rc -eq 0 ]; then
     if [ "$JOB" = shuffle ]; then CLEAN_SHUF=$((CLEAN_SHUF+1)); else CLEAN_FLAG=$((CLEAN_FLAG+1)); fi
   fi
-  if [ $CLEAN_SHUF -ge 12 ] && [ $CLEAN_FLAG -ge 6 ]; then
+  if [ $CLEAN_SHUF -ge 30 ] && [ $CLEAN_FLAG -ge 6 ]; then
     echo "hunt done: shuffle=$CLEAN_SHUF flagship=$CLEAN_FLAG clean" >> /tmp/scaling_hunt.log; break
   fi
   sleep 30
