@@ -238,8 +238,12 @@ class _BitReader:
         self.ended = False
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -993,7 +997,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     4:2:2 or 4:2:0 (any sampling factors <= 2), restart intervals,
     spectral selection + successive approximation — to (h, w, 3) uint8
     RGB (grayscale replicates Y into all three channels). Subsampled
-    chroma upsamples by sample replication."""
+    chroma upsamples by sample replication. Truncated or corrupt input
+    raises the documented ValueError family — never a raw
+    IndexError/struct.error from byte access."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if bytes(data[:2]) != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2

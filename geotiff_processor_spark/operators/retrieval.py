@@ -59,8 +59,10 @@ def bm25_scores(docs: DataFrame, terms: list[str],
     tf = (words.groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).cast("double").alias("tf"),
                F.first("dl").alias("dl")))
-    df = (words.select("doc_id", "term").distinct()
-          .groupBy("term")
+    # df derives FROM tf (one row per (doc, term)), so the corpus scan
+    # + explode + (doc, term) exchange is computed once and reused
+    # (ReusedExchange) instead of a second full corpus pass
+    df = (tf.groupBy("term")
           .agg(F.count(F.lit(1)).cast("double").alias("df")))
     idf = df.select(
         "term",
@@ -148,20 +150,27 @@ def build_postings(docs: DataFrame, text_col: str = "text",
             "segment",
             (F.abs(F.hash("doc_id")) % n_segments).cast("int"))
         keys.append("segment")
-    if max_df is not None:
-        # df computed word-wide (not per segment) so pruning semantics
-        # don't depend on n_segments; tiny (vocab-sized) broadcast
+    if max_df is not None or (min_df > 1 and n_segments > 1):
+        # BOTH df bounds computed word-wide (never per segment) so
+        # pruning semantics don't depend on n_segments; tiny
+        # (vocab-sized) broadcast semi-join
         word_df = (tf.groupBy("word")
-                   .agg(F.count(F.lit(1)).cast("bigint").alias("wdf"))
-                   .filter(F.col("wdf") <= max_df).select("word"))
-        tf = tf.join(F.broadcast(word_df), "word", "left_semi")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("wdf")))
+        cond = F.col("wdf") >= min_df
+        if max_df is not None:
+            cond = cond & (F.col("wdf") <= max_df)
+        tf = tf.join(F.broadcast(word_df.filter(cond).select("word")),
+                     "word", "left_semi")
     posts = (tf.groupBy(*keys)
              .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
                   F.sum("tf").cast("bigint").alias("total_tf"),
                   F.array_sort(
                       F.collect_list(F.struct("doc_id", "tf")))
-                  .alias("pl"))
-             .filter(F.col("df") >= min_df))
+                  .alias("pl")))
+    if n_segments == 1 and min_df > 1:
+        # unsegmented: per-group df IS the word-wide df — the cheap
+        # post-filter is exact and skips the extra aggregate
+        posts = posts.filter(F.col("df") >= min_df)
     return (posts
             .withColumn("doc_ids",
                         F.expr("transform(pl, x -> x.doc_id)"))

@@ -335,12 +335,17 @@ def winnow_fingerprints(docs: DataFrame, key_col: str = "doc_id",
     toks = docs.select(
         F.col(key_col).alias("key"),
         F.split(F.col(text_col), " ").alias("t"))
+    # guard short docs: sequence(0, size-k) DESCENDS when size < k (the
+    # repo's twice-encountered Spark gotcha — see line_dedup), which
+    # would crash slice() or emit junk the oracle never produces
     grams = toks.select(
         "key",
         F.expr(
-            f"transform(sequence(0, size(t) - {k}),"
+            f"case when size(t) >= {k} then"
+            f" transform(sequence(0, size(t) - {k}),"
             f" p -> struct(p as pos,"
             f" md5(array_join(slice(t, p + 1, {k}), ' ')) as gh))"
+            f" else array() end"
         ).alias("gs")).select("key", F.explode("gs").alias("g"))
     # inverted position, zero-padded so string order == numeric desc
     keyed = grams.select(

@@ -271,18 +271,27 @@ def test_progressive_stream_shape():
     assert (J.decode_jpeg(data) == exp).all()
 
 
-def test_progressive_truncation_raises_valueerror():
-    """Cut mid-scan, the decoder fails with the documented ValueError
-    family (never IndexError/struct.error leaking through)."""
+def test_progressive_truncation_error_contract():
+    """Truncation never leaks IndexError/struct.error: every cut either
+    raises ValueError or (a cut at a clean scan boundary — progressive
+    streams are legitimately previewable) returns a full-shape image.
+    Cutting inside the SOF header MUST raise."""
     planes = _const_planes(lambda ci, by, bx: ci * 13 + by * 5 + bx * 3)
     data = J.encode_jpeg_progressive(planes)
-    for cut in (30, len(data) // 3, len(data) // 2, len(data) - 3):
+    size = len(planes[0])
+    raised = 0
+    for cut in range(20, len(data), 7):
         try:
-            J.decode_jpeg(data[:cut])
-        except (ValueError, IndexError) as e:
-            # IndexError only acceptable from raw byte access at the
-            # very end of truncated data inside _BitReader._fill
-            assert isinstance(e, (ValueError, IndexError))
+            out = J.decode_jpeg(data[:cut])
+        except ValueError:
+            raised += 1
+        else:
+            assert out.shape == (size, size, 3), cut
+    assert raised > 0  # mid-scan cuts must raise, not return junk
+    # header-region cut: always ValueError
+    sof = data.find(b"\xff\xc2")
+    with pytest.raises(ValueError):
+        J.decode_jpeg(data[:sof + 5])
 
 
 def test_progressive_with_restart_intervals():

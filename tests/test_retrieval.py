@@ -123,3 +123,19 @@ def test_postings_plan_no_text_in_list_shuffle(spark, sf_dir):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_postings_min_df_word_wide_under_segmentation(spark):
+    """min_df prunes on WORD-WIDE df even when segmented: a word whose
+    global df passes must keep every segment; a word whose global df
+    fails must vanish entirely (per-segment df is never the criterion)."""
+    from geotiff_processor_spark.operators.retrieval import build_postings
+
+    rows = [(i, "common") for i in range(8)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = build_postings(df, min_df=2, n_segments=4).collect()
+    words = {}
+    for r in out:
+        words.setdefault(r["word"], []).extend(r["doc_ids"])
+    assert "rare" not in words
+    assert sorted(words["common"]) == list(range(8))

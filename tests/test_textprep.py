@@ -384,3 +384,16 @@ def test_winnow_guarantee_and_density(spark):
     assert max(b - a for a, b in zip(fps, fps[1:])) <= w
     density = len(fps) / n_grams
     assert 0.25 <= density <= 0.75  # 2/(w+1) = 0.4 nominal
+
+
+def test_winnow_short_docs_empty_not_crash(spark):
+    """Docs shorter than k tokens produce NO fingerprints (matching
+    the oracle's empty gram range) — the descending-sequence guard."""
+    from geotiff_processor_spark.operators.textprep import (
+        winnow_fingerprints)
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "a b c d"), (4, "a b c d e f g h")],
+        "doc_id bigint, text string")
+    out = winnow_fingerprints(df, k=5, w=4).collect()
+    assert {r["doc_id"] for r in out} == {4}
