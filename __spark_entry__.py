@@ -1252,6 +1252,23 @@ def q_winnow(spark, sf_dir):
     return textprep.winnow_fingerprints(docs.select("doc_id", "text"))
 
 
+def q_warc_parse(spark, sf_dir):
+    """WARC ingest (ISO 28500): synthesize REAL multi-record WARC/1.0
+    blobs from the pages formulas, then walk record boundaries by
+    Content-Length in an Arrow mapInPandas and extract text natively —
+    the crawl-format stage upstream of the pages table. The oracle
+    recomputes every field (url, formatted WARC-Date, payload length,
+    extracted text == formula text) from the pages CTE while the
+    engine parses actual bytes."""
+    from geotiff_processor_spark.functions.text import extract_text
+    from geotiff_processor_spark.sources import warc
+
+    blobs = warc.build_warc_staged(spark, sf_dir)
+    return warc.parse_warc(blobs).select(
+        "url", "warc_date", "n_bytes",
+        extract_text("html").alias("text"))
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV (k-minimum-values) cardinality sketch: per-event-type
     distinct-user estimates from the k smallest md5-derived 60-bit
@@ -1425,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "winnow": q_winnow,
         "reproject_albers": q_reproject_albers,
+        "warc_parse": q_warc_parse,
         "decode_video": q_decode_video,
     }
 
@@ -1729,6 +1747,14 @@ GROUP BY w.doc_id"""
         "WITH " + synth.pages_cte("duckdb")
         + f"\nSELECT url, {sql_extract_text(_html)} AS extracted,"
         f" ({sql_extract_text(_html)} = text) AS matches FROM pages"
+    )
+    from geotiff_processor_spark.sources.warc import WARC_DATE_FMT_DUCK
+    sql["warc_parse"] = (
+        "WITH " + synth.pages_cte("duckdb")
+        + f"\nSELECT url,"
+        f" strftime(warc_ts, '{WARC_DATE_FMT_DUCK}') AS warc_date,"
+        f" cast(length(text) + 33 as bigint) AS n_bytes,"
+        f" text FROM pages"
     )
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
