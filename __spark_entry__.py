@@ -1252,6 +1252,19 @@ def q_winnow(spark, sf_dir):
     return textprep.winnow_fingerprints(docs.select("doc_id", "text"))
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual difference hash per image — the MULTIMODAL near-dup
+    key (group on dhash like text dedup groups on md5): real PNG
+    decode, integer luma, one bit per horizontal neighbor pair packed
+    into a bigint. Lossless codec + integer arithmetic => the DuckDB
+    oracle recomputes the 56-bit hash bit-for-bit from the planted
+    pixel formula while the engine decodes actual payloads."""
+    from geotiff_processor_spark.operators import multimodal
+
+    media = synth.build_media_staged(spark, sf_dir)
+    return multimodal.image_dhash(media, "png", "url", strict=True)
+
+
 def q_warc_parse(spark, sf_dir):
     """WARC ingest (ISO 28500): synthesize REAL multi-record WARC/1.0
     blobs from the pages formulas, then walk record boundaries by
@@ -1443,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "reproject_albers": q_reproject_albers,
         "warc_parse": q_warc_parse,
+        "image_dhash": q_image_dhash,
         "decode_video": q_decode_video,
     }
 
@@ -1747,6 +1761,13 @@ GROUP BY w.doc_id"""
         "WITH " + synth.pages_cte("duckdb")
         + f"\nSELECT url, {sql_extract_text(_html)} AS extracted,"
         f" ({sql_extract_text(_html)} = text) AS matches FROM pages"
+    )
+    from geotiff_processor_spark.operators.multimodal import \
+        sql_image_dhash
+    sql["image_dhash"] = (
+        "WITH p0 AS (SELECT event_id AS i FROM events),\nd AS ("
+        + sql_image_dhash("duckdb")
+        + f")\nSELECT {synth.SQL_URL} AS url, dhash FROM d"
     )
     from geotiff_processor_spark.sources.warc import WARC_DATE_FMT_DUCK
     sql["warc_parse"] = (

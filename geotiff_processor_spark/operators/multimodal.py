@@ -267,3 +267,88 @@ def frame_sample(df: DataFrame, payload_col: str = "html",
                 {key_col: keys, "frame_idx": idxs, "frame_sha": shas})
 
     return df.select(key_col, payload_col).mapInPandas(sample, schema=schema)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "png",
+                key_col: str = "url",
+                strict: bool | None = None) -> DataFrame:
+    """Perceptual difference hash (dHash) per image — the multimodal
+    near-dup key: decode (real codecs), integer luma
+    (299R + 587G + 114B, exact in int32), then one bit per horizontal
+    neighbor pair (gray[y][x] > gray[y][x+1]) packed row-major into a
+    bigint ((w-1) * h bits; 56 for the 8x8 media table). Images whose
+    hash collides are near-duplicates up to brightness/contrast shifts
+    — group on the hash exactly like text dedup groups on md5.
+
+    Exactness: every step is integer arithmetic on decoded pixels, so
+    for losslessly-coded payloads (PNG/GIF) the hash is a pure
+    function of the planted formula and the DuckDB oracle recomputes
+    it bit-for-bit.
+
+    Returns (key, dhash bigint).
+    """
+    strict = STRICT_DECODE if strict is None else strict
+    schema = f"{key_col} string, dhash bigint"
+
+    def gen(batches):
+        from ..functions.gif import decode_gif
+        from ..functions.jpeg import decode_jpeg
+        from ..functions.png import decode_png
+        for pdf in batches:
+            keys = pdf[key_col].tolist()
+            hashes = []
+            for payload in pdf[payload_col]:
+                p = bytes(payload)
+                if p[:4] == b"\x89PNG":
+                    img = decode_png(p)[:, :, :3]
+                elif p[:3] == b"\xff\xd8\xff":
+                    img = decode_jpeg(p)
+                elif p[:4] == b"GIF8":
+                    img = decode_gif(p)
+                elif strict:
+                    raise ValueError(
+                        f"no codec for payload magic {p[:4]!r}")
+                else:
+                    img = _fake_decode(p, 8, 8)
+                g = (299 * img[:, :, 0].astype(np.int64)
+                     + 587 * img[:, :, 1].astype(np.int64)
+                     + 114 * img[:, :, 2].astype(np.int64))
+                bits = (g[:, :-1] > g[:, 1:]).ravel()
+                hashes.append(int((bits.astype(np.uint64)
+                                   << np.arange(bits.size,
+                                                dtype=np.uint64)).sum()))
+            yield pd.DataFrame({key_col: keys,
+                                "dhash": pd.array(hashes, "int64")})
+
+    return df.mapInPandas(gen, schema)
+
+
+def sql_image_dhash(dialect: str = "duckdb") -> str:
+    """The identical 56-bit dHash of the 8x8 PNG media formula as SQL
+    over (i): per (y, x<7) bit (g(x,y) > g(x+1,y)) << (y*7+x), summed.
+    Bit shifts on bigint are exact (sum of distinct powers < 2^56)."""
+    from ..sources.synth import MEDIA_CHANNEL_COEFS, MEDIA_SIZE
+
+    (r_i, r_x, r_y), (g_i, g_x, g_y), (b_i, b_x, b_y) = \
+        MEDIA_CHANNEL_COEFS
+
+    def gray(x: str) -> str:
+        return (f"(299 * ((i*{r_i} + {x}*{r_x} + y*{r_y}) % 256)"
+                f" + 587 * ((i*{g_i} + {x}*{g_x} + y*{g_y}) % 256)"
+                f" + 114 * ((i*{b_i} + {x}*{b_x} + y*{b_y}) % 256))")
+
+    if dialect == "duckdb":
+        shift = "(cast(1 as bigint) << cast(y * 7 + x as integer))"
+    else:
+        shift = "shiftleft(cast(1 as bigint), cast(y * 7 + x as int))"
+    bit = (f"case when {gray('x')} > {gray('(x + 1)')}"
+           f" then {shift} else 0 end")
+    s = MEDIA_SIZE
+    if dialect == "duckdb":
+        grid = (f"(SELECT range AS x FROM range({s - 1})) xs,"
+                f" (SELECT range AS y FROM range({s})) ys")
+    else:
+        grid = (f"(SELECT explode(sequence(0, {s - 2})) AS x) xs,"
+                f" (SELECT explode(sequence(0, {s - 1})) AS y) ys")
+    return (f"SELECT i, cast(sum({bit}) as bigint) AS dhash"
+            f" FROM p0, {grid} GROUP BY i")

@@ -102,3 +102,41 @@ def test_strict_mode_decodes_real_png(spark, sf_dir):
             expect = float(((i * ci + xx * cx + yy * cy) % 256).mean())
             assert r[col] == expect, (r["url"], col)
         assert r["height"] == S and r["width"] == S
+
+
+def test_image_dhash_matches_formula_and_groups_dups(spark, sf_dir):
+    """dHash equals the bit-exact formula recomputation, and identical
+    images (same event id pixels) collide while different ids differ
+    (for the planted formula family)."""
+    import numpy as np
+
+    from geotiff_processor_spark.functions.png import encode_png
+    from geotiff_processor_spark.sources import synth
+
+    media = synth.build_media_staged(spark, sf_dir).limit(30)
+    got = {r["url"]: r["dhash"] for r in multimodal.image_dhash(
+        media, "png", "url", strict=True).collect()}
+    assert len(got) == 30
+    # independent numpy recomputation for one image
+    import pyspark.sql.functions as F
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(1)
+    row = ev.select(F.col("event_id").alias("i"),
+                    F.expr(synth.SQL_URL).alias("url")).collect()[0]
+    i, s = row["i"], synth.MEDIA_SIZE
+    x = np.arange(s)[None, :]
+    y = np.arange(s)[:, None]
+    chans = [(i * ci + x * cx + y * cy) % 256
+             for ci, cx, cy in synth.MEDIA_CHANNEL_COEFS]
+    g = 299 * chans[0] + 587 * chans[1] + 114 * chans[2]
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    want = int(sum(int(b) << k for k, b in enumerate(bits)))
+    if row["url"] in got:
+        assert got[row["url"]] == want
+    # duplicate payloads collide
+    idx = np.zeros((8, 8, 3), np.uint8)
+    dup = encode_png(idx)
+    df = spark.createDataFrame(
+        [("a", bytearray(dup)), ("b", bytearray(dup))],
+        "url string, png binary")
+    two = multimodal.image_dhash(df, "png", "url", strict=True).collect()
+    assert two[0]["dhash"] == two[1]["dhash"]
