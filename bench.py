@@ -44,7 +44,7 @@ HEADLINE = [
     "pack_sequences", "source_cap", "line_dedup", "vocab_topk",
     "decode_video", "substr_dedup", "decode_gif", "pagerank",
     "bm25", "postings", "kmv_distinct", "winnow", "extract_text",
-    "reproject_albers", "warc_parse",
+    "reproject_albers", "warc_parse", "image_dhash",
 ]
 # bpe_merges, bpe_apply and flagship_stream are deliberately NOT in the
 # headline: their wall time is fixed-cost dominated (20 sequential
