@@ -27,8 +27,10 @@ from .synth import _stage_media, build_pages_staged
 from ..operators.dedup import sql_hash60
 
 # records per blob (average) — the packer groups pages by a
-# deterministic url-hash key sized for this
-RECORDS_PER_BLOB = 4
+# deterministic url-hash key sized for this (real WARCs hold
+# thousands of records; 16 keeps the synthetic blobs multi-record
+# while bounding the per-group Python-call overhead of the packer)
+RECORDS_PER_BLOB = 16
 
 WARC_DATE_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 WARC_DATE_FMT_DUCK = "%Y-%m-%dT%H:%M:%SZ"
@@ -52,12 +54,13 @@ def build_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(key, pdf):
         pdf = pdf.sort_values("url")
         out = bytearray()
-        for _, r in pdf.iterrows():
-            payload = bytes(r["html"])
+        for url, wdate, html in zip(pdf["url"], pdf["wdate"],
+                                    pdf["html"]):
+            payload = bytes(html)
             hdr = (f"WARC/1.0\r\n"
                    f"WARC-Type: response\r\n"
-                   f"WARC-Target-URI: {r['url']}\r\n"
-                   f"WARC-Date: {r['wdate']}\r\n"
+                   f"WARC-Target-URI: {url}\r\n"
+                   f"WARC-Date: {wdate}\r\n"
                    f"Content-Length: {len(payload)}\r\n\r\n")
             out += hdr.encode("ascii") + payload + b"\r\n\r\n"
         return pd.DataFrame({"grp": [key[0]], "warc": [bytes(out)]})
@@ -67,7 +70,8 @@ def build_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_warc_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_warc materialized once per sf_dir."""
-    return _stage_media(spark, sf_dir, "warc", build_warc, version="v1")
+    return _stage_media(spark, sf_dir, "warc", build_warc,
+                        version="v2-16-per-blob")
 
 
 def parse_warc(df: DataFrame, blob_col: str = "warc") -> DataFrame:
