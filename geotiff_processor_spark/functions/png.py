@@ -7,8 +7,9 @@ so ``synth`` can plant REAL image payloads deterministically; the
 decoder is the production path inside the ``decode_images`` Arrow
 kernel.
 
-Supported: 8-bit RGB (color type 2) and RGBA (6), non-interlaced, all
-five scanline filters. Reference analog: the JPEG preview sink of
+Supported: 8-bit grayscale (color type 0), RGB (2), indexed/PLTE (3)
+and RGBA (6); sequential AND Adam7-interlaced; all five scanline
+filters. Reference analog: the JPEG preview sink of
 ``/root/reference/export_formats/previews.py:24-39`` (there GDAL owns
 the codec; here the engine does, because the 100 TB pipeline decodes in
 executors where native codecs may not be installable).
@@ -29,16 +30,17 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal RGB8 PNG writer. ``filter_type`` applies one fixed filter
-    to every scanline (0=None 1=Sub 2=Up 3=Average 4=Paeth) — non-zero
-    values exist to exercise the decoder's unfilter paths in tests."""
-    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
-        raise ValueError("encode_png expects (h, w, 3) uint8")
-    h, w, _ = img.shape
-    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filter_rows(img: np.ndarray, filter_type: int) -> bytes:
+    """Serialize an (h, w, c) sub-image with one fixed per-scanline
+    filter (0=None 1=Sub 2=Up 3=Average 4=Paeth)."""
+    h, w, _c = img.shape
     raw = bytearray()
-    prev = np.zeros((w, 3), np.int16)
+    prev = np.zeros(img.shape[1:], np.int16)
     for y in range(h):
         row = img[y].astype(np.int16)
         left = np.zeros_like(row)
@@ -60,8 +62,65 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw += (enc % 256).astype(np.uint8).tobytes()
         prev = row
+    return bytes(raw)
+
+
+def _serialize(img: np.ndarray, filter_type: int,
+               interlace: bool) -> bytes:
+    if not interlace:
+        return _filter_rows(img, filter_type)
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            out += _filter_rows(sub, filter_type)
+    return bytes(out)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """PNG writer: (h, w, 3) uint8 -> truecolor (type 2), (h, w) uint8
+    -> grayscale (type 0); optional Adam7 interlace. ``filter_type``
+    applies one fixed filter to every scanline — non-zero values exist
+    to exercise the decoder's unfilter paths in tests."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects (h, w[, 3]) uint8")
+    if img.ndim == 2:
+        ctype = 0
+        img3 = img[:, :, None]
+    elif img.shape[2] == 3:
+        ctype = 2
+        img3 = img
+    else:
+        raise ValueError("encode_png expects (h, w[, 3]) uint8")
+    h, w = img3.shape[:2]
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
+    raw = _serialize(img3, filter_type, interlace)
     return (_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IDAT", zlib.compress(raw, 6))
+            + _chunk(b"IEND", b""))
+
+
+def encode_png_indexed(indices: np.ndarray, palette: np.ndarray,
+                       filter_type: int = 0,
+                       interlace: bool = False) -> bytes:
+    """Indexed-color PNG (type 3): (h, w) uint8 indices + (n, 3)
+    uint8 PLTE."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("encode_png_indexed expects (h, w) uint8")
+    if palette.ndim != 2 or palette.shape[1] != 3 \
+            or palette.dtype != np.uint8 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (1..256, 3) uint8")
+    if indices.size and int(indices.max()) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    ihdr = struct.pack(">II5B", w, h, 8, 3, 0, 0,
+                       1 if interlace else 0)
+    raw = _serialize(indices[:, :, None], filter_type, interlace)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw, 6))
             + _chunk(b"IEND", b""))
 
 
@@ -74,7 +133,9 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit RGB/RGBA PNG to (h, w, c) uint8.
+    """Decode an 8-bit PNG — grayscale (0), RGB (2), indexed (3) or
+    RGBA (6), sequential or Adam7-interlaced — to (h, w, c) uint8
+    (grayscale and indexed expand to (h, w, 3)).
 
     CRC-checked chunk walk, zlib inflate, then per-scanline unfilter:
     None/Up/Sub are fully vectorized (Sub is a per-channel cumsum mod
@@ -83,7 +144,7 @@ def decode_png(data: bytes) -> np.ndarray:
     """
     if bytes(data[:8]) != _SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     n = len(data)
     while pos + 12 <= n:
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -95,6 +156,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
             ihdr = struct.unpack(">II5B", body)
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -103,14 +168,51 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth} color={ctype}"
             f" interlace={interlace}); this codec handles 8-bit"
-            " RGB/RGBA non-interlaced")
-    nc = 3 if ctype == 2 else 4
-    stride = w * nc
+            " gray/RGB/indexed/RGBA, sequential or Adam7")
+    if ctype == 3 and plte is None:
+        raise ValueError("indexed PNG missing PLTE")
+    nc = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     raw = zlib.decompress(bytes(idat))
+    if interlace:
+        img = np.zeros((h, w, nc), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (1 + pw * nc)
+            if off + nbytes > len(raw):
+                raise ValueError("IDAT size mismatch")
+            sub = _unfilter(raw[off:off + nbytes], ph, pw, nc)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, nc)
+            off += nbytes
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch")
+        out2 = img.reshape(h, w * nc)
+    else:
+        if len(raw) != h * (w * nc + 1):
+            raise ValueError("IDAT size mismatch")
+        out2 = _unfilter(raw, h, w, nc)
+    if ctype == 3:
+        idx = out2.reshape(h, w).astype(np.int32)
+        if idx.size and int(idx.max()) >= len(plte):
+            raise ValueError("palette index beyond PLTE")
+        return plte[idx]
+    if ctype == 0:
+        g = out2.reshape(h, w)
+        return np.stack([g, g, g], axis=-1)
+    return out2.reshape(h, w, nc)
+
+
+def _unfilter(raw: bytes, h: int, w: int, nc: int) -> np.ndarray:
+    """Reverse the per-scanline filters of one (sub-)image: raw is
+    h rows of (1 filter byte + w*nc samples); returns (h, w*nc)."""
+    stride = w * nc
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -145,4 +247,4 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown scanline filter {f}")
         out[y] = rec.astype(np.uint8)
         prev = rec.astype(np.int32)
-    return out.reshape(h, w, nc)
+    return out

@@ -430,7 +430,15 @@ def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (i * ci + xx * cx + yy * cy) % 256
                     for ci, cx, cy in MEDIA_CHANNEL_COEFS
                 ], axis=-1).astype(np.uint8)
-                payloads.append(encode_png(img))
+                # rotate the coding layout by id: filter None/Paeth x
+                # sequential/Adam7-interlaced — decoded pixels are
+                # layout-invariant (lossless), so the oracles stay
+                # blind to it while every decode-path variant is
+                # exercised by the driver-checked rows
+                v = int(i) % 4
+                payloads.append(encode_png(img,
+                                           filter_type=4 if v & 1 else 0,
+                                           interlace=bool(v & 2)))
             yield pd.DataFrame({"url": pdf["url"], "png": payloads})
 
     return base.mapInPandas(gen, "url string, png binary")
@@ -439,32 +447,8 @@ def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_media_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_media materialized once per sf_dir (same staging rationale
     as build_pages_staged — payload synthesis never re-runs per query)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    ev = os.path.join(sf_dir, "events.parquet")
-    fps = []
-    for p in ([ev] if os.path.isfile(ev) else
-              sorted(os.path.join(ev, f) for f in os.listdir(ev))
-              if os.path.isdir(ev) else []):
-        st = os.stat(p)
-        fps.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.sha256(
-        f"{sf_dir}|media|{';'.join(fps)}|v1".encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"gps_media_{key}.parquet")
-    if not os.path.exists(path):
-        tmp = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        media = build_media(spark, sf_dir)
-        (media.repartition(max(8, spark.sparkContext.defaultParallelism))
-         .write.mode("overwrite").parquet(tmp))
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    return _stage_media(spark, sf_dir, "media", build_media,
+                        version="v2-adam7-paeth")
 
 
 # ---------------------------------------------------------------------------

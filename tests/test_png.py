@@ -100,3 +100,33 @@ def test_rgba_decodes():
     back = png.decode_png(data)
     assert back.shape == (h, w, 4)
     assert (back == img).all()
+
+
+def test_png_gray_indexed_adam7_roundtrips():
+    """Round trips across the full new option space: gray/indexed
+    color types x all five filters x sequential/Adam7."""
+    import numpy as np
+
+    from geotiff_processor_spark.functions.png import (
+        decode_png, encode_png, encode_png_indexed)
+
+    rng = np.random.default_rng(21)
+    for h, w in ((8, 8), (1, 1), (13, 9), (5, 31)):
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        for ft in range(5):
+            for il in (False, True):
+                assert (decode_png(encode_png(rgb, ft, il)) == rgb).all()
+                g3 = decode_png(encode_png(gray, ft, il))
+                assert (g3 == np.stack([gray] * 3, -1)).all()
+                p3 = decode_png(encode_png_indexed(idx, pal, ft, il))
+                assert (p3 == pal[idx.astype(np.int32)]).all()
+    # indexed: out-of-range index rejected on decode
+    import pytest
+    small = np.array([[3]], np.uint8)
+    data = bytearray(encode_png_indexed(small, pal[:4]))
+    # shrink the PLTE claim: rebuild with a 2-entry palette + index 3
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png_indexed(small, pal[:2])
