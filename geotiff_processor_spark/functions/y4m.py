@@ -17,9 +17,11 @@ previews.py:24-39``); this engine owns its codecs because a 100 TB
 pipeline decodes in executors where native libraries (ffmpeg here)
 may not be installable.
 
-Supported: C444 (planar 4:4:4, the lossless-per-pixel layout) and
-Cmono. Subsampled chroma (C420*, C422) raises, documented like the
-PNG/JPEG/WAV codec limits.
+Supported: C444 (planar 4:4:4, the lossless-per-pixel layout), Cmono,
+and subsampled C420 (all siting variants: 420/420jpeg/420mpeg2/
+420paldv — plane sizes are identical, siting only matters to
+resamplers) and C422; subsampled chroma upsamples by sample
+replication, the same documented policy as the JPEG decoder's.
 """
 
 from __future__ import annotations
@@ -86,14 +88,25 @@ def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
             cs = val
     if w <= 0 or h <= 0:
         raise ValueError("missing/invalid W or H in stream header")
+    sub = None  # (x_factor, y_factor) for subsampled chroma
     if cs == b"mono":
         planes, fsize = 1, w * h
     elif cs == b"444":
         planes, fsize = 3, 3 * w * h
+    elif cs in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        planes, sub = 3, (2, 2)
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs == b"422":
+        if w % 2:
+            raise ValueError("C422 needs even width")
+        planes, sub = 3, (2, 1)
+        fsize = w * h + 2 * ((w // 2) * h)
     else:
         raise ValueError(
             f"unsupported colourspace C{cs.decode()}; this codec handles "
-            "C444 and Cmono (subsampled chroma is the ffmpeg slot)")
+            "C444, C420*, C422 and Cmono")
     pos = nl + 1
     out = []
     while pos < len(data):
@@ -106,9 +119,41 @@ def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
         raw = np.frombuffer(data, np.uint8, count=fsize, offset=pos)
         if planes == 1:
             out.append(raw.reshape(h, w))
-        else:
+        elif sub is None:
             out.append(raw.reshape(3, h, w).transpose(1, 2, 0))
+        else:
+            fx, fy = sub
+            cw, ch = w // fx, h // fy
+            y_pl = raw[:w * h].reshape(h, w)
+            u_pl = raw[w * h:w * h + cw * ch].reshape(ch, cw)
+            v_pl = raw[w * h + cw * ch:].reshape(ch, cw)
+            up = [np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+                  for p in (u_pl, v_pl)]
+            out.append(np.stack([y_pl, up[0], up[1]], axis=-1))
         pos += fsize
     if not out:
         raise ValueError("no frames")
     return w, h, fps, np.stack(out)
+
+
+def encode_y4m_subsampled(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                          cs: bytes = b"420",
+                          fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Subsampled planar encode: y is (f, h, w); u/v at stored chroma
+    resolution ((f, h/2, w/2) for C420, (f, h, w/2) for C422)."""
+    if cs not in (b"420", b"422"):
+        raise ValueError("cs must be b'420' or b'422'")
+    f, h, w = y.shape
+    want = (f, h // 2, w // 2) if cs == b"420" else (f, h, w // 2)
+    for p in (u, v):
+        if p.shape != want or p.dtype != np.uint8:
+            raise ValueError(f"chroma plane must be uint8 {want}")
+    head = b"%s W%d H%d F%d:%d Ip A1:1 C%s\n" % (
+        _MAGIC, w, h, fps[0], fps[1], cs)
+    parts = [head]
+    for k in range(f):
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(y[k]).tobytes())
+        parts.append(np.ascontiguousarray(u[k]).tobytes())
+        parts.append(np.ascontiguousarray(v[k]).tobytes())
+    return b"".join(parts)

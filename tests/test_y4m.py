@@ -114,3 +114,35 @@ def test_decode_video_mono_payloads(spark):
     for r in rows:
         assert r["mean_y"] == fr[r["frame_idx"]].mean()
         assert r["mean_u"] is None and r["mean_v"] is None
+
+
+def test_y4m_subsampled_chroma_roundtrip():
+    """C420 (every siting variant) and C422: replication upsample,
+    same documented policy as the JPEG decoder's."""
+    import numpy as np
+
+    from geotiff_processor_spark.functions.y4m import (
+        decode_y4m, encode_y4m_subsampled)
+
+    rng = np.random.default_rng(6)
+    y = rng.integers(0, 256, (2, 8, 10), dtype=np.uint8)
+    u = rng.integers(0, 256, (2, 4, 5), dtype=np.uint8)
+    v = rng.integers(0, 256, (2, 4, 5), dtype=np.uint8)
+    data = encode_y4m_subsampled(y, u, v, b"420")
+    exp = np.stack([y,
+                    np.repeat(np.repeat(u, 2, 1), 2, 2),
+                    np.repeat(np.repeat(v, 2, 1), 2, 2)], axis=-1)
+    for variant in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+        w, h, _fps, out = decode_y4m(
+            data.replace(b"C420\n", b"C" + variant + b"\n"))
+        assert (w, h) == (10, 8)
+        assert (out == exp).all(), variant
+    u2 = rng.integers(0, 256, (2, 8, 5), dtype=np.uint8)
+    v2 = rng.integers(0, 256, (2, 8, 5), dtype=np.uint8)
+    _w, _h, _f, out = decode_y4m(encode_y4m_subsampled(y, u2, v2, b"422"))
+    assert (out == np.stack(
+        [y, np.repeat(u2, 2, 2), np.repeat(v2, 2, 2)], axis=-1)).all()
+    # odd dims rejected for 420
+    import pytest
+    with pytest.raises(ValueError, match="even"):
+        decode_y4m(b"YUV4MPEG2 W9 H8 F25:1 C420\nFRAME\n" + b"0" * 200)
