@@ -43,11 +43,12 @@ def test_decoder_rejects_subsampled_bad_magic_truncated():
     with pytest.raises(ValueError, match="not a YUV4MPEG2"):
         Y.decode_y4m(b"RIFF" + data[4:])
     with pytest.raises(ValueError, match="unsupported colourspace"):
-        Y.decode_y4m(data.replace(b"C444", b"C420jpeg"))
+        Y.decode_y4m(data.replace(b"C444", b"C411"))
     with pytest.raises(ValueError, match="truncated"):
         Y.decode_y4m(data[:-5])
-    # default colourspace (no C tag) is 420 => unsupported, not a crash
-    with pytest.raises(ValueError, match="unsupported colourspace"):
+    # default colourspace (no C tag) is 420: a C444-sized single-frame
+    # payload parses its first 420-sized frame then chokes on the rest
+    with pytest.raises(ValueError, match="corrupt FRAME"):
         Y.decode_y4m(data.replace(b" C444", b""))
 
 
