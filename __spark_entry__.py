@@ -643,6 +643,25 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every click/view event enriched
+    with the user's most recent at-or-before purchase (ts + value) —
+    the keyed temporal-state join (robots-policy-in-force, latest
+    profile) Spark has no built-in for. ONE shuffle: union + tag +
+    per-user running last(ignorenulls) window, no join operator, so
+    there is no per-key range cross-product to blow up at 100 TB. The
+    DuckDB oracle is a native ASOF LEFT JOIN — an entirely independent
+    implementation of the same rule."""
+    from geotiff_processor_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    build = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    probe = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "event_type")
+    return asof_join(probe, build, ["user_id"], "ts", ["value"])
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary with cents-exact integer sums
     (double sums are shuffle-order-dependent; cents are not)."""
@@ -1458,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": q_warc_parse,
         "image_dhash": q_image_dhash,
         "decode_video": q_decode_video,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1910,6 +1930,19 @@ SELECT event_id, user_id,
   lag(event_type, 1) OVER w AS prev_type
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+    sql["asof_join"] = """
+WITH b AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+)
+SELECT p.event_id, p.user_id, p.ts, p.event_type,
+  b.ts AS asof_ts, b.value AS asof_value
+FROM p ASOF LEFT JOIN b
+  ON p.user_id = b.user_id AND p.ts >= b.ts"""
     cents = "cast(round(l_extendedprice * 100) as bigint)"
     disc = "cast(round(l_discount * 100) as bigint)"
     sql["tpch_pricing"] = f"""
