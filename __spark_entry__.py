@@ -662,6 +662,21 @@ def q_asof_join(spark, sf_dir):
     return asof_join(probe, build, ["user_id"], "ts", ["value"])
 
 
+def q_geoparse_pip(spark, sf_dir):
+    """Geoparsing (operators/geoparse.py): coordinate mentions pulled
+    out of webtext with a fused native regex stage (no UDF), exploded,
+    broadcast-PIP-joined to the polygon layer, rolled up per polygon.
+    The synthetic geotag rule is one formula emitted for both engines,
+    so the DuckDB oracle re-runs the SAME extraction over the SAME
+    text — decoy two-decimal pairs prove the regex rejects noise."""
+    from geotiff_processor_spark.operators import geoparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tagged = docs.select(
+        "doc_id", F.expr(geoparse.sql_geotagged_text("spark")).alias("text"))
+    return geoparse.geoparse_pip(spark, tagged)
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary with cents-exact integer sums
     (double sums are shuffle-order-dependent; cents are not)."""
@@ -1478,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "decode_video": q_decode_video,
         "asof_join": q_asof_join,
+        "geoparse_pip": q_geoparse_pip,
     }
 
 
@@ -1943,6 +1959,27 @@ SELECT p.event_id, p.user_id, p.ts, p.event_type,
   b.ts AS asof_ts, b.value AS asof_value
 FROM p ASOF LEFT JOIN b
   ON p.user_id = b.user_id AND p.ts >= b.ts"""
+    from geotiff_processor_spark.operators import geoparse as _gp
+    sql["geoparse_pip"] = (
+        "WITH " + synth.polygons_cte() + f""",
+tagged AS (SELECT doc_id, {_gp.sql_geotagged_text('duckdb')} AS gtext
+           FROM documents),
+m AS (SELECT doc_id,
+  regexp_extract_all(gtext, '{_gp.COORD_GROUP_RE}', 1) AS las,
+  regexp_extract_all(gtext, '{_gp.COORD_GROUP_RE}', 2) AS los FROM tagged),
+e AS (SELECT doc_id, las[i] AS la, los[i] AS lo
+      FROM m, unnest(range(1, len(las)+1)) AS t(i)),
+pts AS (SELECT doc_id,
+  cast(round(cast(la as double) * 1000) as bigint) AS latm,
+  cast(round(cast(lo as double) * 1000) as bigint) AS lonm FROM e),
+flt AS (SELECT * FROM pts
+        WHERE abs(latm) <= 90000 AND abs(lonm) < 180000),
+hits AS (SELECT g.doc_id, p.polygon_id, p.zone FROM flt g JOIN polygons p
+         ON {synth.SQL_PIP_PREDICATE})
+SELECT cast(polygon_id as bigint) AS polygon_id, zone,
+  count(*) AS n_mentions,
+  cast(count(DISTINCT doc_id) as bigint) AS n_docs
+FROM hits GROUP BY polygon_id, zone""")
     cents = "cast(round(l_extendedprice * 100) as bigint)"
     disc = "cast(round(l_discount * 100) as bigint)"
     sql["tpch_pricing"] = f"""
