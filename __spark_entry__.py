@@ -578,6 +578,21 @@ def q_decode_gif(spark, sf_dir):
                                     key_col="url", strict=True)
 
 
+def q_decode_geotiff(spark, sf_dir):
+    """REAL GeoTIFF decode (functions/tiff.py) — the reference's OWN
+    product format (storageRGB.py GTiff driver), end-to-end
+    oracle-checked: strip walk + PackBits/Deflate decompression +
+    ModelTiepoint/GeoKeyDirectory parse. Pixels AND the georeferencing
+    derive from integer formulas of the event id, the codec is
+    lossless, so DuckDB recomputes channel means, tiepoint
+    millidegrees and the EPSG code with pure arithmetic while the
+    engine walks actual bytes (layout rotates over every supported
+    compression x strip shape)."""
+    media = synth.build_media_tiff_staged(spark, sf_dir)
+    return multimodal.decode_geotiff(media, payload_col="tiff",
+                                     key_col="url")
+
+
 def q_decode_audio(spark, sf_dir):
     """REAL RIFF/WAVE PCM16 decode (functions/wav.py), end-to-end
     oracle-checked: payload samples derive from an integer formula of
@@ -1494,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_video": q_decode_video,
         "asof_join": q_asof_join,
         "geoparse_pip": q_geoparse_pip,
+        "decode_geotiff": q_decode_geotiff,
     }
 
 
@@ -2528,6 +2544,30 @@ FROM w, t"""
         f" cast({_gs} as integer) AS height,"
         f" cast({_gs} as integer) AS width,"
         " mean_r, mean_g, mean_b FROM m"
+    )
+
+    _ts = synth.TIFF_SIZE
+    sql["decode_geotiff"] = (
+        "WITH p0 AS (SELECT event_id AS i FROM events),\n"
+        f"ys AS (SELECT range AS y FROM range({_ts})),\n"
+        f"xs AS (SELECT range AS x FROM range({_ts})),\n"
+        "px AS (\n"
+        f"  SELECT i, {synth.sql_tiff_channel(0)} AS r,"
+        f" {synth.sql_tiff_channel(1)} AS g,"
+        f" {synth.sql_tiff_channel(2)} AS b\n"
+        "  FROM p0, ys, xs\n),\n"
+        "m AS (\n"
+        f"  SELECT i, cast(sum(r) as double)/{_ts * _ts} AS mean_r,\n"
+        f"    cast(sum(g) as double)/{_ts * _ts} AS mean_g,\n"
+        f"    cast(sum(b) as double)/{_ts * _ts} AS mean_b\n"
+        "  FROM px GROUP BY i\n)\n"
+        f"SELECT {synth.SQL_URL} AS url,"
+        f" cast({_ts} as integer) AS height,"
+        f" cast({_ts} as integer) AS width,"
+        " mean_r, mean_g, mean_b,"
+        f" cast({synth.SQL_TIFF_LONM} as bigint) AS lonm,"
+        f" cast({synth.SQL_TIFF_LATM} as bigint) AS latm,"
+        " cast(4326 as integer) AS epsg FROM m"
     )
 
     _vs = synth.VIDEO_SIZE

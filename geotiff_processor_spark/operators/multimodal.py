@@ -46,6 +46,8 @@ _MAGIC = [
     ("jpeg", b"\xff\xd8\xff"),
     ("png", b"\x89PNG"),
     ("gif", b"GIF8"),
+    ("tiff", b"II*\0"),
+    ("tiff", b"MM\0*"),
     ("riff", b"RIFF"),
     ("y4m", b"YUV4"),
     ("html", b"<htm"),
@@ -102,6 +104,7 @@ def decode_images(df: DataFrame, payload_col: str = "html",
         from ..functions.gif import decode_gif
         from ..functions.jpeg import decode_jpeg
         from ..functions.png import decode_png
+        from ..functions.tiff import decode_tiff
         for pdf in batches:
             keys = pdf[key_col].tolist()
             out = {key_col: keys, "height": [], "width": [],
@@ -114,6 +117,12 @@ def decode_images(df: DataFrame, payload_col: str = "html",
                     img = decode_jpeg(p)
                 elif p[:4] == b"GIF8":
                     img = decode_gif(p)
+                elif p[:4] in (b"II*\0", b"MM\0*"):
+                    arr = decode_tiff(p)[0]
+                    if arr.ndim != 3:          # float DEM -> gray 3-band
+                        arr = np.repeat(
+                            arr.astype(np.float64)[:, :, None], 3, axis=2)
+                    img = arr
                 elif strict:
                     raise ValueError(
                         f"no codec for payload magic {p[:4]!r}: only the"
@@ -128,6 +137,51 @@ def decode_images(df: DataFrame, payload_col: str = "html",
                 out["mean_g"].append(float(means[1]))
                 out["mean_b"].append(float(means[2]))
             yield pd.DataFrame(out)
+
+    return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
+
+
+def decode_geotiff(df: DataFrame, payload_col: str = "tiff",
+                   key_col: str = "url") -> DataFrame:
+    """Batch GeoTIFF decode via mapInPandas (functions/tiff.py): the
+    reference's own ingest format, parsed for real — strip walk,
+    PackBits/Deflate decompression, AND the georeferencing tags
+    (ModelTiepoint + GeoKeyDirectory EPSG), so the oracle checks the
+    geo transform alongside pixel content.
+
+    Returns (key, height, width, mean_r, mean_g, mean_b, lonm, latm,
+    epsg) — tiepoint reported in exact millidegrees. Payload bytes
+    never shuffle; all downstream math is on extracted features."""
+    schema = (f"{key_col} string, height int, width int,"
+              " mean_r double, mean_g double, mean_b double,"
+              " lonm bigint, latm bigint, epsg int")
+
+    def decode(batches):
+        from ..functions.tiff import decode_tiff
+        for pdf in batches:
+            out = {key_col: pdf[key_col].tolist(), "height": [],
+                   "width": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                   "lonm": [], "latm": [], "epsg": []}
+            for payload in pdf[payload_col]:
+                arr, meta = decode_tiff(bytes(payload))
+                if arr.ndim != 3:              # float DEM -> gray 3-band
+                    arr = np.repeat(
+                        arr.astype(np.float64)[:, :, None], 3, axis=2)
+                means = arr.reshape(-1, 3).mean(axis=0)
+                tie = meta["tiepoint"] or (None, None)
+                out["height"].append(meta["height"])
+                out["width"].append(meta["width"])
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["lonm"].append(
+                    None if tie[0] is None else round(tie[0] * 1000))
+                out["latm"].append(
+                    None if tie[1] is None else round(tie[1] * 1000))
+                out["epsg"].append(meta["epsg"])
+            yield pd.DataFrame(
+                {k: (pd.array(v, "Int64") if k in ("lonm", "latm", "epsg")
+                     else v) for k, v in out.items()})
 
     return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
 

@@ -581,6 +581,74 @@ def build_media_gif_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GeoTIFF media table: REAL strip-TIFF payloads (functions/tiff codec) —
+# the reference's OWN product format (storageRGB/storageDEM GTiff)
+# ---------------------------------------------------------------------------
+
+TIFF_SIZE = 16
+# channel formula: v(i, y, x, ch) = (i*13 + y*7 + x*3 + ch*31) % 256 —
+# lossless through every supported compression, so the oracle recomputes
+# decoded channel means with pure arithmetic
+TIFF_COEFS = (13, 7, 3, 31)
+# georeferencing formulas (millidegrees from the event id): the decode
+# query surfaces the GeoTIFF tags, so the oracle checks the geo
+# transform too, not just pixels
+SQL_TIFF_LONM = "((i * 77 + 13) % 360000 - 180000)"
+SQL_TIFF_LATM = "((i * 53 + 7) % 120000 - 60000)"
+
+
+def sql_tiff_channel(ch: int) -> str:
+    a, b, c, d = TIFF_COEFS
+    return f"((i*{a} + y*{b} + x*{c} + {ch}*{d}) % 256)"
+
+
+def build_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, tiff) — tiff is a REAL georeferenced strip-TIFF (RGB
+    uint8) whose pixels derive from the event id. Layout rotates by id
+    over {none, deflate, packbits} x {multi-strip, single-strip} so one
+    table exercises every codec path; pixels and geo tags are identical
+    formulas either way, so the oracle is layout-blind."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.tiff import encode_tiff
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = events.select(F.col("event_id").alias("i"),
+                         F.expr(SQL_URL).alias("url"))
+    a, b, c, d = TIFF_COEFS
+    s = TIFF_SIZE
+
+    def gen(batches):
+        y = np.arange(s, dtype=np.int64)[:, None, None]
+        x = np.arange(s, dtype=np.int64)[None, :, None]
+        ch = np.arange(3, dtype=np.int64)[None, None, :]
+        grid = y * b + x * c + ch * d
+        for pdf in batches:
+            payloads = []
+            for i in pdf["i"].to_numpy(np.int64):
+                img = ((int(i) * a + grid) % 256).astype(np.uint8)
+                comp = (1, 8, 32773)[int(i) % 3]
+                rps = 7 if int(i) % 2 else s
+                lonm = (int(i) * 77 + 13) % 360000 - 180000
+                latm = (int(i) * 53 + 7) % 120000 - 60000
+                payloads.append(encode_tiff(
+                    img, compression=comp, rows_per_strip=rps,
+                    pixel_scale=(0.001, 0.001),
+                    tiepoint=(lonm / 1000.0, latm / 1000.0), epsg=4326))
+            yield pd.DataFrame({"url": pdf["url"], "tiff": payloads})
+
+    return base.mapInPandas(gen, "url string, tiff binary")
+
+
+def build_media_tiff_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_media_tiff materialized once per sf_dir."""
+    return _stage_media(spark, sf_dir, "media_tiff", build_media_tiff)
+
+
+# ---------------------------------------------------------------------------
 # Y4M media table: REAL YUV4MPEG2 C444 video payloads (functions/y4m codec)
 # ---------------------------------------------------------------------------
 
