@@ -1331,6 +1331,21 @@ def q_warc_parse(spark, sf_dir):
         extract_text("html").alias("text"))
 
 
+def q_warc_gzip(spark, sf_dir):
+    """.warc.gz ingest — the Common-Crawl on-disk convention: one gzip
+    MEMBER per record, members concatenated per blob. The parser
+    inflates the member chain (zlib unused_data walk) then runs the
+    same record walk as q_warc_parse, so the oracle is identical — the
+    compression layer must be bit-transparent."""
+    from geotiff_processor_spark.functions.text import extract_text
+    from geotiff_processor_spark.sources import warc
+
+    blobs = warc.build_warc_gz_staged(spark, sf_dir)
+    return warc.parse_warc(blobs).select(
+        "url", "warc_date", "n_bytes",
+        extract_text("html").alias("text"))
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV (k-minimum-values) cardinality sketch: per-event-type
     distinct-user estimates from the k smallest md5-derived 60-bit
@@ -1510,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "geoparse_pip": q_geoparse_pip,
         "decode_geotiff": q_decode_geotiff,
+        "warc_gzip": q_warc_gzip,
     }
 
 
@@ -1829,6 +1845,7 @@ GROUP BY w.doc_id"""
         f" cast(length(text) + 33 as bigint) AS n_bytes,"
         f" text FROM pages"
     )
+    sql["warc_gzip"] = sql["warc_parse"]
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
         f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"

@@ -74,11 +74,79 @@ def build_warc_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
                         version="v2-16-per-blob")
 
 
+def _gzip_member(payload: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no name — zlib's gzip
+    wrapper defaults), level 6."""
+    import zlib
+
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(payload) + c.flush()
+
+
+def _gunzip_members(b: bytes) -> bytes:
+    """Inflate a concatenation of gzip members (the .warc.gz layout:
+    one member per record; a single whole-blob member is the
+    degenerate case)."""
+    import zlib
+
+    out = bytearray()
+    view = b
+    while view[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out += d.decompress(view)
+        if not d.eof:
+            raise ValueError("corrupt .warc.gz: truncated gzip member")
+        view = d.unused_data
+    if view:
+        raise ValueError("corrupt .warc.gz: trailing non-gzip bytes")
+    return bytes(out)
+
+
+def build_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, warc) — the Common-Crawl on-disk convention: the SAME
+    records as ``build_warc``, each compressed as its own gzip member,
+    members concatenated per blob (random access by member offset is
+    what makes real crawls splittable)."""
+    plain = build_warc(spark, sf_dir)
+
+    def gz(batches):
+        import pandas as pd
+        for pdf in batches:
+            blobs = []
+            for blob in pdf["warc"]:
+                b = bytes(blob)
+                out = bytearray()
+                pos = 0
+                while pos < len(b):
+                    end = b.find(b"\r\n\r\n", pos)
+                    head = b[pos:end].decode("ascii")
+                    clen = next(int(l.split(":", 1)[1])
+                                for l in head.split("\r\n")
+                                if l.lower().startswith("content-length"))
+                    rec_end = end + 4 + clen + 4
+                    out += _gzip_member(b[pos:rec_end])
+                    pos = rec_end
+                blobs.append(bytes(out))
+            yield pd.DataFrame({"grp": pdf["grp"], "warc": blobs})
+
+    return plain.mapInPandas(gz, "grp bigint, warc binary")
+
+
+def build_warc_gz_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_warc_gz materialized once per sf_dir."""
+    return _stage_media(spark, sf_dir, "warc_gz", build_warc_gz)
+
+
 def parse_warc(df: DataFrame, blob_col: str = "warc") -> DataFrame:
     """Walk every record of every WARC blob: (url, warc_date, n_bytes,
     html). Arrow-batched, stateless per blob; malformed headers or a
     Content-Length pointing past the blob raise the documented
-    ValueError family (strict — crawl QA wants loud corruption)."""
+    ValueError family (strict — crawl QA wants loud corruption).
+
+    Gzipped blobs (magic 1f 8b) are transparently inflated first —
+    both whole-blob gzip and the Common-Crawl ``.warc.gz`` convention
+    of one gzip MEMBER per record (concatenated members inflate to the
+    concatenated record stream under the member walk)."""
     import pandas as pd
 
     def gen(batches):
@@ -86,6 +154,8 @@ def parse_warc(df: DataFrame, blob_col: str = "warc") -> DataFrame:
             urls, dates, lens, payloads = [], [], [], []
             for blob in pdf[blob_col]:
                 b = bytes(blob)
+                if b[:2] == b"\x1f\x8b":
+                    b = _gunzip_members(b)
                 pos = 0
                 while pos < len(b):
                     end = b.find(b"\r\n\r\n", pos)

@@ -47,3 +47,38 @@ def test_warc_parser_rejects_corruption(spark):
         with pytest.raises(Exception) as ei:
             run(bad)
         assert msg in str(ei.value), msg
+
+
+def test_warc_gz_member_walk(spark):
+    """Per-record gzip members AND whole-blob gzip both inflate to the
+    same record stream; truncation and trailing garbage are loud."""
+    recs = []
+    for i, payload in enumerate((b"abc", b"defgh")):
+        recs.append(
+            f"WARC/1.0\r\nWARC-Target-URI: http://r{i}\r\n"
+            f"WARC-Date: 2025-01-01T00:00:0{i}Z\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n")
+    per_member = b"".join(warc._gzip_member(r) for r in recs)
+    whole_blob = warc._gzip_member(b"".join(recs))
+
+    def run(blob):
+        df = spark.createDataFrame([(bytearray(blob),)], "warc binary")
+        return {(r["url"], r["n_bytes"], bytes(r["html"]))
+                for r in warc.parse_warc(df).collect()}
+
+    want = {("http://r0", 3, b"abc"), ("http://r1", 5, b"defgh")}
+    assert run(per_member) == want
+    assert run(whole_blob) == want
+    with pytest.raises(Exception, match="truncated gzip member"):
+        run(per_member[:-8])
+    with pytest.raises(Exception, match="trailing non-gzip"):
+        run(per_member + b"junk")
+
+
+def test_warc_gz_table_matches_plain(spark, sf_dir):
+    plain = warc.parse_warc(warc.build_warc(spark, sf_dir)) \
+        .agg(F.count("*"), F.sum("n_bytes")).first()
+    gz = warc.parse_warc(warc.build_warc_gz(spark, sf_dir)) \
+        .agg(F.count("*"), F.sum("n_bytes")).first()
+    assert tuple(plain) == tuple(gz)
