@@ -1331,6 +1331,22 @@ def q_warc_parse(spark, sf_dir):
         extract_text("html").alias("text"))
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 history build (operators/scd.py): per-user update
+    feed -> effective-dated version rows with [valid_from, valid_to)
+    and consecutive-duplicate squash — the dimension-materialization
+    twin of asof_join. One shuffle; both windows share the (user, ts)
+    sort. Tracked attribute is a 3-bucket tier so the squash rule
+    (most updates change nothing) is genuinely exercised."""
+    from geotiff_processor_spark.operators.scd import scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    updates = ev.select(
+        "user_id", "ts",
+        (F.floor(F.col("value") * 10).cast("bigint") % 3).alias("tier"))
+    return scd2_history(updates, ["user_id"], "ts", ["tier"])
+
+
 def q_warc_gzip(spark, sf_dir):
     """.warc.gz ingest — the Common-Crawl on-disk convention: one gzip
     MEMBER per record, members concatenated per blob. The parser
@@ -1526,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse_pip": q_geoparse_pip,
         "decode_geotiff": q_decode_geotiff,
         "warc_gzip": q_warc_gzip,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -1846,6 +1863,25 @@ GROUP BY w.doc_id"""
         f" text FROM pages"
     )
     sql["warc_gzip"] = sql["warc_parse"]
+    sql["scd2_history"] = """
+WITH u AS (
+  SELECT user_id, ts, cast(floor(value * 10) as bigint) % 3 AS tier
+  FROM events
+),
+one AS (
+  SELECT user_id, ts, max(tier) AS tier FROM u GROUP BY user_id, ts
+),
+flg AS (
+  SELECT user_id, ts, tier,
+    (lag(ts) OVER w IS NULL
+     OR tier IS DISTINCT FROM lag(tier) OVER w) AS nv
+  FROM one WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+st AS (SELECT user_id, ts, tier FROM flg WHERE nv)
+SELECT user_id, tier, ts AS valid_from,
+  lead(ts) OVER w2 AS valid_to,
+  (lead(ts) OVER w2 IS NULL) AS is_current
+FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"""
     sql["simhash"] = _simhash_oracle()
     gp_selects = [
         f"SELECT url, cast({p['polygon_id']} as bigint) AS polygon_id,"
