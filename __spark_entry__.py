@@ -1331,6 +1331,27 @@ def q_warc_parse(spark, sf_dir):
         extract_text("html").alias("text"))
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-prune join (operators/bloom.py): the fact scan is
+    pre-filtered by a broadcast Bloom bitmap of the filtered dim's
+    keys BEFORE any exchange — the explicit, testable form of the
+    runtime-filter trick that turns a full-fact shuffle into a
+    selectivity-sized one at 100 TB. Result rows are provably
+    identical to the plain join, which is exactly what the oracle
+    checks."""
+    from geotiff_processor_spark.operators.bloom import bloom_prune_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    build = (part.filter(F.col("p_size") <= 2)
+             .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    joined = bloom_prune_join(li.select("l_partkey", "l_quantity"),
+                              build, "l_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("sum(cast(round(l_quantity) as bigint))").alias("sum_qty"))
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD type-2 history build (operators/scd.py): per-user update
     feed -> effective-dated version rows with [valid_from, valid_to)
@@ -1543,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_geotiff": q_decode_geotiff,
         "warc_gzip": q_warc_gzip,
         "scd2_history": q_scd2_history,
+        "bloom_join": q_bloom_join,
     }
 
 
@@ -1863,6 +1885,11 @@ GROUP BY w.doc_id"""
         f" text FROM pages"
     )
     sql["warc_gzip"] = sql["warc_parse"]
+    sql["bloom_join"] = """
+SELECT p.p_brand, count(*) AS n_rows,
+  cast(sum(cast(round(l_quantity) as bigint)) as bigint) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 2 GROUP BY p.p_brand"""
     sql["scd2_history"] = """
 WITH u AS (
   SELECT user_id, ts, cast(floor(value * 10) as bigint) % 3 AS tier
