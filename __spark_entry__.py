@@ -1331,6 +1331,69 @@ def q_warc_parse(spark, sf_dir):
         extract_text("html").alias("text"))
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Streaming gap-sessionization (§2.9): a REAL watermarked
+    session_window stream over the events feed — the MERGING-window
+    stateful rule, append-mode, finalized by far-future flush events
+    on a sentinel user (same max-anchored flush + staging/atomic-
+    publish discipline as q_flagship_stream). The DuckDB oracle
+    recomputes sessions as batch gaps-and-islands with the
+    session_window boundary rule (a touching event — gap exactly 30
+    min — still MERGES; a new session needs gap > 30 min), so
+    streaming merge/emission semantics are hash-checked against an
+    independent formulation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from geotiff_processor_spark.streaming.ingest import session_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_real = ev.agg(F.max("ts")).first()[0]
+    key = hashlib.sha256(
+        f"{sf_dir}|sess_stream|{max_real}|v1".encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"gps_sstream_{key}_out")
+    if not os.path.exists(out):
+        work = tempfile.mkdtemp(
+            prefix=f"gps_sstream_stage_{key}_{uuid.uuid4().hex[:8]}_")
+        src, ckpt, stage_out = f"{work}/src", f"{work}/ckpt", f"{work}/out"
+        seen: set[str] = set()
+
+        def _stamp(step: int) -> None:
+            for name in sorted(os.listdir(src)):
+                p = os.path.join(src, name)
+                if p not in seen and name.endswith(".parquet"):
+                    os.utime(p, ns=(step * 10**9, step * 10**9))
+                    seen.add(p)
+
+        ev.coalesce(1).write.mode("append").parquet(src)
+        _stamp(1)
+        flush = ev.orderBy(F.desc("ts")).limit(1) \
+            .withColumn("user_id", F.lit(-1).cast("long"))
+        for step, hours in enumerate((12, 24), start=2):
+            flush.withColumn(
+                "ts", F.lit(max_real) + F.expr(f"INTERVAL {hours} HOURS")
+            ).coalesce(1).write.mode("append").parquet(src)
+            _stamp(step)
+        session_stream(spark, src, stage_out, ckpt)
+        clean = f"{work}/clean"
+        spark.read.parquet(stage_out).write.parquet(clean)
+        try:
+            os.rename(clean, out)
+        except OSError:
+            pass
+        shutil.rmtree(work, ignore_errors=True)
+    return (spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "session_start", "session_end",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("total_value_c").cast("long")
+                    .alias("total_value_c")))
+
+
 def q_bloom_join(spark, sf_dir):
     """Bloom-prune join (operators/bloom.py): the fact scan is
     pre-filtered by a broadcast Bloom bitmap of the filtered dim's
@@ -1565,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gzip": q_warc_gzip,
         "scd2_history": q_scd2_history,
         "bloom_join": q_bloom_join,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -1885,6 +1949,30 @@ GROUP BY w.doc_id"""
         f" text FROM pages"
     )
     sql["warc_gzip"] = sql["warc_parse"]
+    sql["stream_sessions"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ts, value,
+    CASE WHEN prev IS NULL
+         OR date_diff('microsecond', prev, ts) > 1800000000
+         THEN 1 ELSE 0 END AS nv
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+    sum(nv) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  cast(sum(cast(round(value * 100) as bigint)) as bigint) AS total_value_c
+FROM s GROUP BY user_id, sid"""
     sql["bloom_join"] = """
 SELECT p.p_brand, count(*) AS n_rows,
   cast(sum(cast(round(l_quantity) as bigint)) as bigint) AS sum_qty

@@ -129,6 +129,46 @@ def flagship_stream(spark: SparkSession, input_dir: str,
     q.awaitTermination()
 
 
+def session_stream(spark: SparkSession, input_dir: str,
+                   output_dir: str, checkpoint_dir: str,
+                   schema=None, gap: str = "30 minutes",
+                   watermark: str = "2 minutes") -> None:
+    """Streaming gap-sessionization via ``session_window`` — the
+    MERGING-window stateful rule (tumbling windows never merge;
+    session state does): per-user sessions grow/merge as events
+    arrive and are emitted exactly once when the watermark passes
+    ``last_event + gap``. State is bounded by open sessions x keys;
+    watermark expiry is what closes them (the streaming counterpart
+    of operators/sessions.py's batch gaps-and-islands)."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.expr("cast(round(value * 100) as bigint)"))
+             .alias("total_value_c"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "total_value_c")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_throughput(pages: DataFrame,
                         window: str = "1 hour") -> DataFrame:
     """Event-time tumbling window counts over warc_ts (batch or stream;

@@ -161,3 +161,48 @@ def test_flagship_stream_long_span_flush(spark, tmp_path):
     assert emitted.count() == expected.count() > 0
     assert emitted.exceptAll(expected).count() == 0
     assert expected.exceptAll(emitted).count() == 0
+
+
+def test_session_stream_merge_and_split(spark, tmp_path):
+    """session_window semantics through the REAL stream: gaps up to
+    AND INCLUDING the 30-min gap merge (touching windows coalesce; a
+    split needs a strictly larger gap), end = last_ts + gap, and only
+    watermark-passed sessions are emitted in append mode."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click",
+                1.0, "{}")
+    rows = [ev(1, 7, 0), ev(2, 7, 29), ev(3, 7, 58),   # chained session
+            ev(4, 7, 88),     # exactly 30 -> touching windows MERGE
+            ev(5, 7, 119), ev(6, 7, 150),  # 31-min gaps -> two splits
+            ev(7, 8, 10),
+            # sentinel flush far in the future advances the watermark
+            ev(8, -1, 60 * 24), ev(9, -1, 60 * 48)]
+    schema = ("event_id bigint, ts timestamp, user_id bigint,"
+              " event_type string, value double, props string")
+    src = str(tmp_path / "src")
+    for step, chunk in enumerate([rows[:7], rows[7:8], rows[8:]], start=1):
+        spark.createDataFrame(chunk, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        for name in sorted(os.listdir(src)):
+            if name.endswith(".parquet"):
+                p = os.path.join(src, name)
+                if os.stat(p).st_mtime_ns > 10 * 10**9:
+                    os.utime(p, ns=(step * 10**9, step * 10**9))
+    ingest.session_stream(spark, src, str(tmp_path / "out"),
+                          str(tmp_path / "ckpt"))
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"])
+           for r in spark.read.parquet(str(tmp_path / "out"))
+           .filter(F.col("user_id") >= 0).collect()}
+    g = dt.timedelta(minutes=30)
+    m = dt.timedelta
+    assert got == {
+        (7, t0, t0 + m(minutes=88) + g, 4),
+        (7, t0 + m(minutes=119), t0 + m(minutes=119) + g, 1),
+        (7, t0 + m(minutes=150), t0 + m(minutes=150) + g, 1),
+        (8, t0 + m(minutes=10), t0 + m(minutes=10) + g, 1),
+    }
