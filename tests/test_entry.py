@@ -45,14 +45,20 @@ def test_driver_checked_prefix_covers_distinct_operators():
     prefix = set(names[:50])
     must_be_checked = {
         # round-5 rotation: decode_gif and decode_audio were never
-        # driver-checked in r1-r4 (VERDICT r4 item 1); decode_jpeg keeps
-        # the grouped Arrow decode rule covered while decode_images sits
-        # in the tail, minhash_sigs moved to the tail (its signature
-        # stage is embedded in the checked minhash_candidates pipeline),
-        # and decode_video (r4-green, same grouped-decode rule) yielded
-        # its slot to extract_text, which pins BASELINE.json's
+        # driver-checked in r1-r4 (VERDICT r4 item 1); minhash_sigs
+        # moved to the tail (its signature stage is embedded in the
+        # checked minhash_candidates pipeline), and decode_video
+        # (r4-green, same grouped-decode rule) yielded its slot to
+        # extract_text, which pins BASELINE.json's
         # byte-identical-text-per-url invariant
         "decode_gif", "decode_audio", "extract_text",
+        # round-5b rotation: every operator added in round 5 that had
+        # never seen a driver row (decode_jpeg yielded its slot — the
+        # grouped Arrow decode rule stays checked three ways via
+        # decode_gif/decode_audio/decode_geotiff)
+        "asof_join", "geoparse_pip", "decode_geotiff", "warc_parse",
+        "scd2_history", "bloom_join", "stream_sessions", "image_dhash",
+        "winnow", "kmv_distinct", "bm25", "postings",
         # round-4 additions
         "substr_dedup", "bpe_merges", "flagship_stream",
         "pagerank", "streaming_dedup",
@@ -60,7 +66,7 @@ def test_driver_checked_prefix_covers_distinct_operators():
         "pip_count", "pip_general", "knn", "zonal_stats", "hillshade",
         "outline_components", "minhash_candidates",
         "ngram_jaccard", "simhash", "embedding_near_dup", "ann_cosine",
-        "ann_lsh", "ann_ivf", "decode_jpeg",
+        "ann_lsh", "ann_ivf",
         "reproject_utm", "reproject_lcc", "metadata_map", "line_dedup",
         "dedup_canonical", "lm_score", "decontaminate", "vocab_topk",
         "pack_sequences", "source_cap", "shuffle_rank", "sessionize",
