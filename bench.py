@@ -45,13 +45,15 @@ HEADLINE = [
     "decode_video", "substr_dedup", "decode_gif", "pagerank",
     "bm25", "postings", "kmv_distinct", "winnow", "extract_text",
     "reproject_albers", "warc_parse", "image_dhash",
+    "asof_join", "scd2_history", "bloom_join", "geoparse_pip",
+    "decode_geotiff", "warc_gzip",
 ]
-# bpe_merges, bpe_apply and flagship_stream are deliberately NOT in the
-# headline: their wall time is fixed-cost dominated (20 sequential
-# argmax rounds — bpe_apply re-trains before applying; stream-machinery
-# startup + temp-dir writes), so a sum-of-wall-times metric would
-# measure the harness, not engine throughput. All remain driver-checked
-# queries with full oracles.
+# bpe_merges, bpe_apply, flagship_stream and stream_sessions are
+# deliberately NOT in the headline: their wall time is fixed-cost
+# dominated (20 sequential argmax rounds — bpe_apply re-trains before
+# applying; stream-machinery startup + temp-dir writes), so a
+# sum-of-wall-times metric would measure the harness, not engine
+# throughput. All remain driver-checked queries with full oracles.
 
 
 def _session(master: str) -> SparkSession:
