@@ -593,6 +593,36 @@ def q_decode_geotiff(spark, sf_dir):
                                      key_col="url")
 
 
+def q_geotiff_pipeline(spark, sf_dir):
+    """END-TO-END raster pipeline on REAL bytes — the reference's core
+    workflow (process.py: open GeoTIFF DEM -> hillshade): a float32
+    DEM GeoTIFF (Deflate strips, georef tags) is decoded to the pixel
+    table by multimodal.dem_pixels, nodata-filtered, and run through
+    the SAME distributed Horn hillshade operator as q_hillshade. Pixel
+    values are integer meters (exact through float32), so the decoded
+    elevations are bit-identical to the oracle's formula doubles and
+    the whole chain — codec, explode, 3x3 halo tiling, trig — hash-
+    checks. At fleet scale this is one task per DEM tile file; only
+    (key, int, int, double) rows shuffle."""
+    import numpy as np
+
+    from geotiff_processor_spark.functions.tiff import encode_tiff
+
+    yy, xx = np.mgrid[0:256, 0:256]
+    elev = ((xx * 7 + yy * 13) % 1000).astype(np.float32)
+    elev[(xx * 31 + yy * 17) % 997 == 0] = -10000.0
+    blob = encode_tiff(elev, compression=8, rows_per_strip=32,
+                       pixel_scale=(0.001, 0.001),
+                       tiepoint=(-180.0, 60.0), epsg=4326)
+    df = spark.createDataFrame([("m0", bytearray(blob))],
+                               "map_id string, tiff binary")
+    px_rows = multimodal.dem_pixels(df)
+    valid = px_rows.filter((F.col("elev") != -10000.0)
+                           & (F.col("elev") >= 0))
+    hs = hillshade.hillshade(valid, tile=64)
+    return hs.select("px", "py", F.round("shade", 4).alias("shade"))
+
+
 def q_decode_audio(spark, sf_dir):
     """REAL RIFF/WAVE PCM16 decode (functions/wav.py), end-to-end
     oracle-checked: payload samples derive from an integer formula of
@@ -1645,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "reproject_albers": q_reproject_albers,
         "decode_video": q_decode_video,
+        "geotiff_pipeline": q_geotiff_pipeline,
         "warc_gzip": q_warc_gzip,
     }
 
@@ -2052,6 +2083,16 @@ FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)"""
     ]
     sql["tile_pyramid"] = _with_geo("", "\nUNION ALL\n".join(zoom_selects))
     sql["hillshade"] = _hillshade_oracle(raster_valid)
+    dem_prefix = """WITH r0 AS (
+  SELECT cast(range % 256 as bigint) AS px,
+         cast(floor(range / 256) as bigint) AS py
+  FROM range(65536)
+),
+rv AS (
+  SELECT px, py, cast((px * 7 + py * 13) % 1000 as double) AS elev
+  FROM r0 WHERE (px * 31 + py * 17) % 997 <> 0
+)"""
+    sql["geotiff_pipeline"] = _hillshade_oracle(dem_prefix)
     sql["preview_math"] = (
         raster
         + ",\nstats AS (SELECT cast(sum(r) as double) / cast(count(*) as"

@@ -186,6 +186,37 @@ def decode_geotiff(df: DataFrame, payload_col: str = "tiff",
     return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
 
 
+def dem_pixels(df: DataFrame, payload_col: str = "tiff",
+               key_col: str = "map_id") -> DataFrame:
+    """1:N GeoTIFF-DEM explode: one float32 DEM payload -> one row per
+    pixel (key, px, py, elev) — the raster-as-table bridge that lets
+    every downstream raster operator (hillshade, pyramid, zonal,
+    percentile) run on REAL ingested bytes. Arrow-batched; each payload
+    decodes in the executor that holds it (at fleet scale a directory
+    of DEM tiles decodes embarrassingly parallel, one task per file
+    split), and only (key, int, int, double) rows ever shuffle."""
+    schema = f"{key_col} string, px int, py int, elev double"
+
+    def gen(batches):
+        from ..functions.tiff import decode_tiff
+        for pdf in batches:
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                arr, _ = decode_tiff(bytes(payload))
+                if arr.ndim != 2:
+                    raise ValueError(
+                        "dem_pixels expects single-band float DEM TIFFs")
+                h, w = arr.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                yield pd.DataFrame({
+                    key_col: np.repeat(key, h * w),
+                    "px": xx.ravel().astype(np.int32),
+                    "py": yy.ravel().astype(np.int32),
+                    "elev": arr.ravel().astype(np.float64),
+                })
+
+    return df.select(key_col, payload_col).mapInPandas(gen, schema)
+
+
 def decode_audio(df: DataFrame, payload_col: str = "wav",
                  key_col: str = "url") -> DataFrame:
     """Batch audio decode via mapInPandas: REAL RIFF/WAVE PCM16 parse

@@ -126,3 +126,24 @@ def test_tiff_roundtrip_fuzz(seed, h, w, comp, rps):
     out, meta = T.decode_tiff(
         T.encode_tiff(img, compression=comp, rows_per_strip=rps))
     assert np.array_equal(out, img)
+
+
+def test_dem_pixels_explode(spark):
+    """1:N DEM explode reproduces the planted grid exactly and rejects
+    RGB payloads."""
+    import pytest as _pytest
+    from geotiff_processor_spark.operators.multimodal import dem_pixels
+
+    dem = np.arange(12, dtype=np.float32).reshape(3, 4)
+    blob = T.encode_tiff(dem, compression=32773, rows_per_strip=2)
+    df = spark.createDataFrame([("m", bytearray(blob))],
+                               "map_id string, tiff binary")
+    rows = {(r["px"], r["py"]): r["elev"] for r in dem_pixels(df).collect()}
+    assert len(rows) == 12
+    for (x, y), v in rows.items():
+        assert v == float(dem[y, x])
+    rgb = T.encode_tiff(_rgb(4))
+    bad = spark.createDataFrame([("m", bytearray(rgb))],
+                                "map_id string, tiff binary")
+    with _pytest.raises(Exception, match="single-band float"):
+        dem_pixels(bad).collect()
