@@ -115,6 +115,18 @@ def q_knn(spark, sf_dir):
         _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
 
 
+def q_radius_join(spark, sf_dir):
+    """Geodesic radius search (operators/knn.radius_join): all pages
+    within 400 km great-circle of each query point. Broadcast query
+    set + conservative latitude-band prune as the join condition (no
+    true match can be cut, so the result equals the unpruned filter
+    the oracle computes); exact haversine in integer centimetres, one
+    shared expression text in both engines."""
+    return knn.radius_join(
+        _geocoded(spark, sf_dir), synth.build_knn_queries(spark),
+        radius_m=400_000.0)
+
+
 def q_knn_cell_prefix(spark, sf_dir):
     """Cell-index kNN with adaptive ring expansion — EXACT (the ring
     grows until the k-th distance provably beats anything outside the
@@ -1676,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_albers": q_reproject_albers,
         "decode_video": q_decode_video,
         "geotiff_pipeline": q_geotiff_pipeline,
+        "radius_join": q_radius_join,
         "warc_gzip": q_warc_gzip,
     }
 
@@ -1713,6 +1726,16 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n_pages FROM pip GROUP BY polygon_id, zone",
     )
     sql["cell_encode"] = _with_geo("", "SELECT url, cell_id FROM geocoded")
+    from geotiff_processor_spark.functions.geo import sql_haversine_cm
+    _hav = sql_haversine_cm("g.latm", "g.lonm", "q.qlatm", "q.qlonm")
+    sql["radius_join"] = _with_geo(
+        synth.knn_queries_cte() + f""",
+rj AS (
+  SELECT q.query_id, g.url, {_hav} AS dist_cm
+  FROM geocoded g CROSS JOIN knn_queries q
+)""",
+        "SELECT query_id, url, dist_cm FROM rj WHERE dist_cm <= 40000000",
+    )
     from geotiff_processor_spark.functions.geo import sql_tile_x, sql_tile_y
     sql["tile_assign"] = _with_geo(
         "",

@@ -252,3 +252,30 @@ def knn_cell_prefix(geocoded: DataFrame, queries: DataFrame, k: int = 5,
             f" {max_rounds} rounds — max_rounds must cover the grid"
             " (ring doubling makes this unreachable for the default)")
     return results
+
+
+def radius_join(geocoded: DataFrame, queries: DataFrame,
+                radius_m: float) -> DataFrame:
+    """Geodesic radius search: every page within ``radius_m`` metres
+    (great-circle, haversine) of each query point ->
+    (query_id, url, dist_cm).
+
+    Scale shape: the tiny query set broadcasts; a CONSERVATIVE
+    latitude-band prune (|dlat| <= R / 110 km — one degree of latitude
+    is never shorter than 110.574 km, so no true match can be cut)
+    runs as the join condition, keeping the trig off all but a thin
+    band of candidate pairs; the exact haversine then filters inside
+    codegen. Because the prune is conservative, the output equals the
+    unpruned cross-product filter — which is what the oracle computes.
+    Distances are integer centimetres (rounding absorbs last-ulp libm
+    divergence between engines)."""
+    from ..functions.geo import sql_haversine_cm
+
+    band_mdeg = int(radius_m / 110_000.0 * 1000.0) + 1
+    dist = F.expr(sql_haversine_cm("latm", "lonm", "qlatm", "qlonm"))
+    pruned = geocoded.join(
+        F.broadcast(queries),
+        F.abs(F.col("latm") - F.col("qlatm")) <= F.lit(band_mdeg))
+    return (pruned.withColumn("dist_cm", dist)
+            .filter(F.col("dist_cm") <= int(round(radius_m * 100)))
+            .select("query_id", "url", "dist_cm"))

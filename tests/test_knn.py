@@ -115,3 +115,45 @@ def test_cell_prefix_large_query_set(spark, sf_dir):
     got = res.join(sample.select("query_id"), "query_id")
     assert got.exceptAll(exact).count() == 0
     assert exact.exceptAll(got).count() == 0
+
+
+def test_radius_join_geodesic(spark, sf_dir):
+    """Haversine sanity: a known pair distance, conservative band prune
+    never cuts a true match, and results match brute force."""
+    import math
+
+    from geotiff_processor_spark.functions.geo import (
+        EARTH_MEAN_RADIUS_M, sql_haversine_cm)
+
+    # Paris -> London ~ 343-344 km (reference great-circle value)
+    d = spark.sql(
+        "SELECT " + sql_haversine_cm("48857", "2352", "51507", "-127")
+        + " AS cm").first()["cm"]
+    assert 34_300_000 < d < 34_500_000
+
+    geocoded = synth.geocode(
+        synth.build_pages_staged(spark, sf_dir, with_html=False))
+    queries = synth.build_knn_queries(spark)
+    got = {tuple(r) for r in
+           knn.radius_join(geocoded, queries, 500_000.0).collect()}
+    # brute force: no prune, plain cross + exact filter
+    hav = sql_haversine_cm("latm", "lonm", "qlatm", "qlonm")
+    brute = {tuple(r) for r in
+             geocoded.crossJoin(queries)
+             .withColumn("dist_cm", F.expr(hav))
+             .filter(F.col("dist_cm") <= 50_000_000)
+             .select("query_id", "url", "dist_cm").collect()}
+    assert got == brute and got
+    # every reported distance is consistent with python math.haversine
+    r = next(iter(got))
+    pages = {p["url"]: p for p in geocoded.collect()}
+    qs = {q["query_id"]: q for q in queries.collect()}
+    for qid, url, cm in list(got)[:20]:
+        p, q = pages[url], qs[qid]
+        la1, lo1 = p["latm"] / 1000, p["lonm"] / 1000
+        la2, lo2 = q["qlatm"] / 1000, q["qlonm"] / 1000
+        h = (math.sin(math.radians(la2 - la1) / 2) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(math.radians(lo2 - lo1) / 2) ** 2)
+        ref = 2 * EARTH_MEAN_RADIUS_M * math.asin(math.sqrt(h)) * 100
+        assert abs(ref - cm) < 2
