@@ -115,6 +115,26 @@ def q_knn(spark, sf_dir):
         _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (operators/merge.py): a change set (every
+    7th doc rewritten, every 31st inserted under a shifted key) applied
+    to the documents snapshot in ONE shuffle via tagged union +
+    per-key priority pick — no join, no build-side materialization.
+    The oracle states the same rule the independent way: source UNION
+    ALL (target ANTI JOIN source), so the merge policy itself is
+    cross-checked, not just row plumbing."""
+    from geotiff_processor_spark.operators.merge import merge_upsert
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.upper(F.col("text")).alias("text"), "lang",
+        "source", "n_chars")
+    inserts = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang",
+        F.lit("new").alias("source"), "n_chars")
+    return merge_upsert(docs, updates.unionByName(inserts), ["doc_id"])
+
+
 def q_radius_join(spark, sf_dir):
     """Geodesic radius search (operators/knn.radius_join): all pages
     within 400 km great-circle of each query point. Broadcast query
@@ -1689,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_video": q_decode_video,
         "geotiff_pipeline": q_geotiff_pipeline,
         "radius_join": q_radius_join,
+        "merge_upsert": q_merge_upsert,
         "warc_gzip": q_warc_gzip,
     }
 
@@ -2020,6 +2041,19 @@ GROUP BY w.doc_id"""
         f" text FROM pages"
     )
     sql["warc_gzip"] = sql["warc_parse"]
+    sql["merge_upsert"] = """
+WITH src AS (
+  SELECT doc_id, upper(text) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang,
+    'new' AS source, n_chars
+  FROM documents WHERE doc_id % 31 = 0
+)
+SELECT doc_id, text, lang, source, n_chars FROM src
+UNION ALL
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d ANTI JOIN src s ON d.doc_id = s.doc_id"""
     sql["stream_sessions"] = """
 WITH o AS (
   SELECT user_id, ts, value,

@@ -1,0 +1,46 @@
+"""MERGE upsert (operators/merge.py): matched-update / unmatched-keep /
+insert semantics, deterministic duplicate policy, single-shuffle plan."""
+
+import re
+
+import pytest
+
+from geotiff_processor_spark.operators.merge import merge_upsert
+
+
+def test_merge_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k bigint, v string, n bigint")
+    source = spark.createDataFrame(
+        [(2, "B", 200), (9, "z", 90)], "k bigint, v string, n bigint")
+    out = {r["k"]: (r["v"], r["n"]) for r in
+           merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 10),      # untouched survives
+                   2: ("B", 200),     # matched -> source wins
+                   3: ("c", 30),
+                   9: ("z", 90)}      # source-only inserts
+
+
+def test_duplicate_source_keys_deterministic(spark):
+    target = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    source = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k bigint, v string")
+    rows = merge_upsert(target, source, ["k"]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "y"  # greatest tuple wins
+
+
+def test_schema_mismatch_rejected(spark):
+    target = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    bad = spark.createDataFrame([(1, 2)], "k bigint, other bigint")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_upsert(target, bad, ["k"])
+
+
+def test_plan_single_shuffle_no_join(spark):
+    target = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    source = spark.createDataFrame([(2, "b")], "k bigint, v string")
+    plan = merge_upsert(target, source, ["k"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
