@@ -115,6 +115,57 @@ def q_knn(spark, sf_dir):
         _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
 
 
+def q_grouped_median(spark, sf_dir):
+    """Exact grouped quantiles (no sketch): per-event-type median and
+    p90 of value via Spark's exact `percentile` aggregate — linear
+    interpolation, the same rule as DuckDB's quantile_cont, so values
+    hash-match after 6-decimal rounding. At scale exact grouped
+    quantiles shuffle each group's values once (the approximate path
+    is percentile_approx; the engine offers both, this row pins the
+    exact one)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_v"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_v"),
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot (crosstab): events long -> wide, one count column per
+    event type with an explicit pivot value list (never the implicit
+    distinct scan — at 100 TB the value list must be declared, not
+    discovered). Oracle is the standard conditional-aggregation
+    rewrite, so the pivot rule itself is cross-checked."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+    out = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in types])
+    return out
+
+
+def q_range_frame(spark, sf_dir):
+    """RANGE window frame over event time: each event's trailing
+    1-hour per-user activity (count + cents-exact value sum) — the
+    time-based frame rule (ROWS frames count rows; RANGE frames bound
+    by an INTERVAL distance on the order key). One user-keyed shuffle;
+    frames are evaluated on the same (user, ts) sort; equal-ts rows
+    share a frame, so the result is order-deterministic."""
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("_rf_events")
+    return spark.sql("""
+SELECT event_id, user_id,
+  count(*) OVER w AS n_1h,
+  sum(cast(round(value * 100) as bigint)) OVER w AS sum_c_1h
+FROM _rf_events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO semantics (operators/merge.py): a change set (every
     7th doc rewritten, every 31st inserted under a shifted key) applied
@@ -1710,6 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_pipeline": q_geotiff_pipeline,
         "radius_join": q_radius_join,
         "merge_upsert": q_merge_upsert,
+        "grouped_median": q_grouped_median,
+        "pivot_counts": q_pivot_counts,
+        "range_frame": q_range_frame,
         "warc_gzip": q_warc_gzip,
     }
 
@@ -2041,6 +2095,28 @@ GROUP BY w.doc_id"""
         f" text FROM pages"
     )
     sql["warc_gzip"] = sql["warc_parse"]
+    sql["grouped_median"] = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS median_v,
+  round(quantile_cont(value, 0.9), 6) AS p90_v,
+  count(*) AS n
+FROM events GROUP BY event_type"""
+    sql["pivot_counts"] = """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click')    AS n_click,
+  count(*) FILTER (event_type = 'error')    AS n_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup')   AS n_signup,
+  count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id"""
+    sql["range_frame"] = """
+SELECT event_id, user_id,
+  count(*) OVER w AS n_1h,
+  cast(sum(cast(round(value * 100) as bigint)) OVER w as bigint)
+    AS sum_c_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
     sql["merge_upsert"] = """
 WITH src AS (
   SELECT doc_id, upper(text) AS text, lang, source, n_chars

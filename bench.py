@@ -46,7 +46,8 @@ HEADLINE = [
     "bm25", "postings", "kmv_distinct", "winnow", "extract_text",
     "reproject_albers", "warc_parse", "image_dhash",
     "asof_join", "scd2_history", "bloom_join", "geoparse_pip",
-    "decode_geotiff", "warc_gzip",
+    "decode_geotiff", "warc_gzip", "radius_join", "merge_upsert",
+    "geotiff_pipeline",
 ]
 # bpe_merges, bpe_apply, flagship_stream and stream_sessions are
 # deliberately NOT in the headline: their wall time is fixed-cost
