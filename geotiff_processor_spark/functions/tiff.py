@@ -13,7 +13,9 @@ Supported, both directions:
 - RGB uint8 (PhotometricInterpretation=2, SamplesPerPixel=3) and
   single-band float32 DEM (Photometric=1, SampleFormat=IEEEFP) — the
   reference's two product kinds (storageRGB / storageDEM),
-- Compression 1 (none), 32773 (PackBits) and 8 (Adobe Deflate/zlib),
+- Compression 1 (none), 32773 (PackBits), 8 (Adobe Deflate/zlib)
+  and 5 (LZW, EarlyChange + optional horizontal predictor 2 — the
+  codec most real-world GeoTIFFs ship with),
 - multi-strip layouts (RowsPerStrip < height),
 - GeoTIFF georeferencing: ModelPixelScale (33550), ModelTiepoint
   (33922) and a minimal GeoKeyDirectory (34735) carrying the EPSG
@@ -21,7 +23,7 @@ Supported, both directions:
   (helpers.py:52-60 analog).
 
 Unsupported (documented, raise ValueError): tiles, palette TIFF,
-LZW/JPEG-in-TIFF compression, PlanarConfiguration=2.
+JPEG-in-TIFF compression, PlanarConfiguration=2.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ _WIDTH, _HEIGHT = 256, 257
 _BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
 _PLANAR, _SAMPLE_FORMAT = 284, 339
+_PREDICTOR = 317
 _PIXEL_SCALE, _TIEPOINT, _GEO_KEYS = 33550, 33922, 34735
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
@@ -98,6 +101,123 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first bit packing, 9->12 bit
+    codes with the EarlyChange rule (width bumps when the NEXT code to
+    assign is 2^w - 1 — one entry earlier than pure LZW; the libtiff
+    convention every real GeoTIFF uses), table reset at 4094."""
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc = (acc << width) | code
+        n_acc += width
+        while n_acc >= 8:
+            n_acc -= 8
+            out.append((acc >> n_acc) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, width = _LZW_FIRST, 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        elif nxt == 4094:                # table full: reset
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = _LZW_FIRST, 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if n_acc:
+        out.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of ``lzw_encode`` — same EarlyChange width schedule on
+    the reader side (width bumps when the next code to ASSIGN is
+    2^w - 1)."""
+    out = bytearray()
+    acc = n_acc = pos = 0
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+
+    def read() -> int | None:
+        nonlocal acc, n_acc, pos
+        while n_acc < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n_acc += 8
+        n_acc -= width
+        code = (acc >> n_acc) & ((1 << width) - 1)
+        return code
+
+    while len(out) < expected:
+        code = read()
+        if code is None or code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = table[:_LZW_FIRST]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: first code out"
+                                 " of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code gap")
+        out += entry
+        prev = entry
+        # the decoder's table is ONE entry behind the encoder's (its
+        # entry for code j completes when code j+1 arrives), so the
+        # EarlyChange bump lands at 2^w - 2 here vs 2^w - 1 on the
+        # writer side — the classic paired off-by-one of TIFF LZW
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"corrupt LZW stream: {len(out)} != {expected} bytes")
+    return bytes(out)
+
+
+def _predict2_encode(rows: "np.ndarray") -> bytes:
+    """Horizontal-differencing predictor (tag 317 = 2) over a
+    (rows, w, spp) uint8 block: each sample minus its left neighbor,
+    mod 256 — runs become zeros, which is what makes LZW bite on
+    natural rasters."""
+    d = rows.astype(np.int16)
+    d[:, 1:, :] -= rows[:, :-1, :].astype(np.int16)
+    return (d % 256).astype(np.uint8).tobytes()
+
+
+def _predict2_decode(raw: bytes, n_rows: int, w: int, spp: int) -> bytes:
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, w, spp)
+    return np.cumsum(a, axis=1, dtype=np.uint32).astype(np.uint8).tobytes()
+
+
 def _entry(tag: int, typ: int, values, extra: list[bytes],
            extra_base: list[int]) -> bytes:
     """One 12-byte IFD entry; out-of-line payloads appended to
@@ -122,7 +242,8 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                 rows_per_strip: int = 16,
                 pixel_scale: tuple[float, float] | None = None,
                 tiepoint: tuple[float, float] | None = None,
-                epsg: int | None = None) -> bytes:
+                epsg: int | None = None,
+                predictor: int = 1) -> bytes:
     """Little-endian strip TIFF from (h, w, 3) uint8 RGB or (h, w)
     float32 DEM. ``pixel_scale``/``tiepoint``/``epsg`` emit the
     GeoTIFF georeferencing tags (tiepoint anchors raster (0,0) at the
@@ -137,16 +258,26 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
         raise ValueError("encode_tiff: (h,w,3) uint8 or (h,w) float32")
     h, w = img.shape[:2]
     rows_per_strip = min(rows_per_strip, h)
+    if predictor == 2 and img.dtype != np.uint8:
+        raise ValueError("predictor 2 is defined for uint8 samples")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
 
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        raw = raw_rows[y0:y0 + rows_per_strip].tobytes()
+        block = raw_rows[y0:y0 + rows_per_strip]
+        if predictor == 2:
+            raw = _predict2_encode(block.reshape(block.shape[0], w, spp))
+        else:
+            raw = block.tobytes()
         if compression == 1:
             strips.append(raw)
         elif compression == 32773:
             strips.append(packbits_encode(raw))
         elif compression == 8:
             strips.append(zlib.compress(raw, 6))
+        elif compression == 5:
+            strips.append(lzw_encode(raw))
         else:
             raise ValueError(f"unsupported TIFF compression {compression}")
 
@@ -162,6 +293,8 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     entries.append((_STRIP_COUNTS, _TYPE_LONG,
                     [len(s) for s in strips]))
     entries.append((_PLANAR, _TYPE_SHORT, [1]))
+    if predictor == 2:
+        entries.append((_PREDICTOR, _TYPE_SHORT, [2]))
     entries.append((_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * spp))
     if pixel_scale is not None:
         entries.append((_PIXEL_SCALE, _TYPE_DOUBLE,
@@ -275,9 +408,12 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     bits = tags.get(_BITS, [8])[0]
     if one(_PLANAR, 1) != 1:
         raise ValueError("unsupported TIFF: PlanarConfiguration=2")
-    if compression not in (1, 8, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}"
-                         " (no LZW/JPEG-in-TIFF codec)")
+                         " (no JPEG-in-TIFF codec)")
+    predictor = one(_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if (spp, bits, fmt) == (3, 8, 1):
         dtype, itemsize = np.uint8, 1
     elif (spp, bits, fmt) == (1, 32, 3):
@@ -303,11 +439,18 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
         if compression == 1:
             if len(strip) < expected:
                 raise ValueError("corrupt TIFF: short strip")
-            raw += strip[:expected]
+            block = strip[:expected]
         elif compression == 8:
-            raw += zlib.decompress(bytes(strip))
+            block = zlib.decompress(bytes(strip))
+        elif compression == 5:
+            block = lzw_decode(bytes(strip), expected)
         else:
-            raw += packbits_decode(strip, expected)
+            block = packbits_decode(strip, expected)
+        if predictor == 2:
+            if itemsize != 1:
+                raise ValueError("predictor 2 on non-uint8 samples")
+            block = _predict2_decode(block, n_rows, w, spp)
+        raw += block
     if len(raw) != h * row_bytes:
         raise ValueError("corrupt TIFF: assembled pixel data size")
     arr = np.frombuffer(bytes(raw), dtype=e + {1: "u1", 4: "f4"}[itemsize])

@@ -605,9 +605,10 @@ def sql_tiff_channel(ch: int) -> str:
 def build_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, tiff) — tiff is a REAL georeferenced strip-TIFF (RGB
     uint8) whose pixels derive from the event id. Layout rotates by id
-    over {none, deflate, packbits} x {multi-strip, single-strip} so one
-    table exercises every codec path; pixels and geo tags are identical
-    formulas either way, so the oracle is layout-blind."""
+    over {none, deflate, packbits, lzw, lzw+predictor2} x
+    {multi-strip, single-strip} so one table exercises every codec
+    path; pixels and geo tags are identical formulas either way, so
+    the oracle is layout-blind."""
     import os
 
     import numpy as np
@@ -630,14 +631,16 @@ def build_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in pdf["i"].to_numpy(np.int64):
                 img = ((int(i) * a + grid) % 256).astype(np.uint8)
-                comp = (1, 8, 32773)[int(i) % 3]
+                comp = (1, 8, 32773, 5, 5)[int(i) % 5]
+                pred = 2 if int(i) % 5 == 4 else 1
                 rps = 7 if int(i) % 2 else s
                 lonm = (int(i) * 77 + 13) % 360000 - 180000
                 latm = (int(i) * 53 + 7) % 120000 - 60000
                 payloads.append(encode_tiff(
                     img, compression=comp, rows_per_strip=rps,
                     pixel_scale=(0.001, 0.001),
-                    tiepoint=(lonm / 1000.0, latm / 1000.0), epsg=4326))
+                    tiepoint=(lonm / 1000.0, latm / 1000.0), epsg=4326,
+                    predictor=pred))
             yield pd.DataFrame({"url": pdf["url"], "tiff": payloads})
 
     return base.mapInPandas(gen, "url string, tiff binary")
@@ -645,7 +648,8 @@ def build_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_media_tiff_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """build_media_tiff materialized once per sf_dir."""
-    return _stage_media(spark, sf_dir, "media_tiff", build_media_tiff)
+    return _stage_media(spark, sf_dir, "media_tiff", build_media_tiff,
+                        version="v2-lzw-predictor")
 
 
 # ---------------------------------------------------------------------------

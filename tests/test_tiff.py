@@ -105,8 +105,8 @@ def test_corrupt_rejection(mutate, msg):
 def test_unsupported_compression_rejected():
     blob = bytearray(T.encode_tiff(_rgb(2), compression=1))
     i = blob.find(struct.pack("<HH", 259, 3))
-    blob[i + 8:i + 10] = struct.pack("<H", 5)   # claim LZW
-    with pytest.raises(ValueError, match="compression 5"):
+    blob[i + 8:i + 10] = struct.pack("<H", 7)   # claim JPEG-in-TIFF
+    with pytest.raises(ValueError, match="compression 7"):
         T.decode_tiff(bytes(blob))
 
 
@@ -114,12 +114,12 @@ def test_encode_rejects_bad_shapes():
     with pytest.raises(ValueError, match="uint8 or"):
         T.encode_tiff(np.zeros((4, 4), dtype=np.uint8))
     with pytest.raises(ValueError, match="unsupported TIFF compression"):
-        T.encode_tiff(_rgb(3), compression=5)
+        T.encode_tiff(_rgb(3), compression=7)
 
 
 @settings(max_examples=20, deadline=None)
 @given(st.integers(0, 2**32 - 1), st.integers(1, 40), st.integers(1, 40),
-       st.sampled_from([1, 8, 32773]), st.integers(1, 50))
+       st.sampled_from([1, 5, 8, 32773]), st.integers(1, 50))
 def test_tiff_roundtrip_fuzz(seed, h, w, comp, rps):
     img = np.random.RandomState(seed).randint(
         0, 256, (h, w, 3)).astype(np.uint8)
@@ -147,3 +147,37 @@ def test_dem_pixels_explode(spark):
                                 "map_id string, tiff binary")
     with _pytest.raises(Exception, match="single-band float"):
         dem_pixels(bad).collect()
+
+
+@pytest.mark.parametrize("pred", [1, 2])
+def test_lzw_roundtrip(pred):
+    img = _rgb(pred * 11)
+    out, meta = T.decode_tiff(T.encode_tiff(
+        img, compression=5, rows_per_strip=6, predictor=pred))
+    assert np.array_equal(out, img) and meta["compression"] == 5
+
+
+def test_lzw_predictor_compresses_smooth_rasters():
+    smooth = np.cumsum(np.random.RandomState(0).randint(
+        0, 3, (64, 64, 3)).astype(np.uint8), axis=1).astype(np.uint8)
+    plain = len(T.encode_tiff(smooth, compression=5, predictor=1))
+    pred = len(T.encode_tiff(smooth, compression=5, predictor=2))
+    assert pred < plain
+
+
+def test_predictor_rejected_on_float():
+    dem = np.zeros((4, 4), dtype=np.float32)
+    with pytest.raises(ValueError, match="predictor 2"):
+        T.encode_tiff(dem, compression=5, predictor=2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=3000))
+def test_lzw_raw_roundtrip_fuzz(data):
+    assert T.lzw_decode(T.lzw_encode(data), len(data)) == data
+
+
+def test_lzw_table_reset_path():
+    rng = np.random.RandomState(7)
+    data = bytes(rng.randint(0, 256, 60000).astype(np.uint8))
+    assert T.lzw_decode(T.lzw_encode(data), len(data)) == data
