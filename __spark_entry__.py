@@ -168,7 +168,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO semantics (operators/merge.py): a change set (every
-    7th doc rewritten, every 31st inserted under a shifted key) applied
+    7th doc rewritten, every 31st inserted under a negative key) applied
     to the documents snapshot in ONE shuffle via tagged union +
     per-key priority pick — no join, no build-side materialization.
     The oracle states the same rule the independent way: source UNION
@@ -180,8 +180,12 @@ def q_merge_upsert(spark, sf_dir):
     updates = docs.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", F.upper(F.col("text")).alias("text"), "lang",
         "source", "n_chars")
+    # insert keys live in the NEGATIVE key space: -(doc_id+1) can never
+    # collide with a real (nonnegative) doc_id at ANY scale factor — a
+    # +offset scheme would collide once doc_ids exceed the offset and
+    # silently diverge from the oracle's duplicate handling
     inserts = docs.filter(F.col("doc_id") % 31 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang",
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text", "lang",
         F.lit("new").alias("source"), "n_chars")
     return merge_upsert(docs, updates.unionByName(inserts), ["doc_id"])
 
@@ -1801,8 +1805,8 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n_pages FROM pip GROUP BY polygon_id, zone",
     )
     sql["cell_encode"] = _with_geo("", "SELECT url, cell_id FROM geocoded")
-    from geotiff_processor_spark.functions.geo import sql_haversine_cm
-    _hav = sql_haversine_cm("g.latm", "g.lonm", "q.qlatm", "q.qlonm")
+    from geotiff_processor_spark.functions.geodesic import sql_haversine_cm
+    _hav = sql_haversine_cm("g.lonm", "g.latm", "q.qlonm", "q.qlatm")
     sql["radius_join"] = _with_geo(
         synth.knn_queries_cte() + f""",
 rj AS (
@@ -2122,7 +2126,7 @@ WITH src AS (
   SELECT doc_id, upper(text) AS text, lang, source, n_chars
   FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text, lang,
+  SELECT -(doc_id + 1) AS doc_id, text, lang,
     'new' AS source, n_chars
   FROM documents WHERE doc_id % 31 = 0
 )

@@ -54,17 +54,29 @@ def asof_join(probe: DataFrame, build: DataFrame,
     for c in key_cols + [ts_col]:
         if c not in probe.columns or c not in build.columns:
             raise ValueError(f"column {c!r} must exist on both sides")
+    for c in value_cols:
+        if c not in build.columns:
+            raise ValueError(f"value column {c!r} not in build side")
     clash = [c for c in probe.columns
              if c.startswith(prefix)] + [prefix + ts_col]
     if any(prefix + c in probe.columns for c in value_cols + [ts_col]):
         raise ValueError(f"probe already has {prefix}* columns: {clash}")
 
+    # the whole carried build row rides as ONE struct: the running
+    # last(ignorenulls) must distinguish "no build row yet" (NULL
+    # struct) from "a build row whose VALUE is NULL" (non-null struct,
+    # null field) — per-column running lasts would skip genuinely-NULL
+    # values and stitch asof_ts and asof_<value> from different rows
     carry = [ts_col] + value_cols
+    state = F.struct(*[F.col(c).alias(c) for c in carry])
+    null_state = F.when(F.lit(False), F.struct(
+        *[F.lit(None).cast(build.schema[c].dataType).alias(c)
+          for c in carry]))
     b = build.select(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("_asof_tag"),
-        *[F.col(c).alias(prefix + c) for c in carry],
+        state.alias("_asof_state"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
           for c in probe.columns if c not in key_cols + [ts_col]],
     )
@@ -72,8 +84,7 @@ def asof_join(probe: DataFrame, build: DataFrame,
         *key_cols,
         F.col(ts_col),
         F.lit(1).alias("_asof_tag"),
-        *[F.lit(None).cast(build.schema[c].dataType).alias(prefix + c)
-          for c in carry],
+        null_state.alias("_asof_state"),
         *[F.col(c) for c in probe.columns
           if c not in key_cols + [ts_col]],
     )
@@ -81,12 +92,13 @@ def asof_join(probe: DataFrame, build: DataFrame,
     w = (Window.partitionBy(*key_cols)
          .orderBy(F.col(ts_col).asc(), F.col("_asof_tag").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    run = b.unionByName(p)
+    run = b.unionByName(p).withColumn(
+        "_asof_state", F.last("_asof_state", ignorenulls=True).over(w))
     for c in carry:
-        run = run.withColumn(prefix + c,
-                             F.last(prefix + c, ignorenulls=True).over(w))
+        run = run.withColumn(prefix + c, F.col(f"_asof_state.{c}"))
 
-    out = run.filter(F.col("_asof_tag") == 1).drop("_asof_tag")
+    out = (run.filter(F.col("_asof_tag") == 1)
+           .drop("_asof_tag", "_asof_state"))
     if tolerance_s is not None:
         # one select: every enrichment is nulled against the ORIGINAL
         # asof_ts (sequential withColumns would null asof_ts first and

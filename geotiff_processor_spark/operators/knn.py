@@ -269,10 +269,10 @@ def radius_join(geocoded: DataFrame, queries: DataFrame,
     unpruned cross-product filter — which is what the oracle computes.
     Distances are integer centimetres (rounding absorbs last-ulp libm
     divergence between engines)."""
-    from ..functions.geo import sql_haversine_cm
+    from ..functions.geodesic import sql_haversine_cm
 
     band_mdeg = int(radius_m / 110_000.0 * 1000.0) + 1
-    dist = F.expr(sql_haversine_cm("latm", "lonm", "qlatm", "qlonm"))
+    dist = F.expr(sql_haversine_cm("lonm", "latm", "qlonm", "qlatm"))
     pruned = geocoded.join(
         F.broadcast(queries),
         F.abs(F.col("latm") - F.col("qlatm")) <= F.lit(band_mdeg))

@@ -39,9 +39,17 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     rest = [c for c in target.columns if c not in key_cols]
     s = source.select(*target.columns).withColumn("_pri", F.lit(0))
     t = target.withColumn("_pri", F.lit(1))
+    unioned = s.unionByName(t)
+    # SQL MERGE's ON t.k = s.k never matches a NULL key: NULL-key rows
+    # on either side pass through untouched (target survives, source
+    # inserts) instead of being grouped into one NULL partition
+    null_key = F.lit(False)
+    for c in key_cols:
+        null_key = null_key | F.col(c).isNull()
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("_pri").asc(), *[F.col(c).desc() for c in rest])
-    return (s.unionByName(t)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_pri"))
+    merged = (unioned.filter(~null_key)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn"))
+    return merged.unionByName(unioned.filter(null_key)).drop("_pri")

@@ -126,8 +126,8 @@ def decode_images(df: DataFrame, payload_col: str = "html",
                 elif strict:
                     raise ValueError(
                         f"no codec for payload magic {p[:4]!r}: only the"
-                        " built-in PNG, baseline-JPEG and GIF codecs are"
-                        " available in this container (ffmpeg slot)")
+                        " built-in PNG, JPEG, GIF and (Geo)TIFF codecs"
+                        " are available in this container (ffmpeg slot)")
                 else:
                     img = _fake_decode(p, h, w)
                 means = img.reshape(-1, 3).mean(axis=0)

@@ -75,3 +75,20 @@ def test_rejects_column_clash_and_missing_keys(frames):
     with pytest.raises(ValueError, match="asof"):
         asof_join(probe.withColumn("asof_value", F.lit(1)),
                   build, ["user_id"], "ts", ["value"])
+
+
+def test_null_build_value_is_carried_not_skipped(spark):
+    """A build row whose VALUE is NULL still advances the state (ASOF
+    semantics: the row matched; its value happens to be NULL) — the
+    running last must not stitch asof_ts and asof_value from different
+    build rows."""
+    probe = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T12:00:00"), "click")],
+        "event_id bigint, user_id string, ts timestamp, event_type string")
+    build = spark.createDataFrame(
+        [("u", _ts("2024-01-01T10:00:00"), 5.0),
+         ("u", _ts("2024-01-01T11:00:00"), None)],
+        "user_id string, ts timestamp, value double")
+    r = asof_join(probe, build, ["user_id"], "ts", ["value"]).first()
+    assert r["asof_ts"] == _ts("2024-01-01T11:00:00")
+    assert r["asof_value"] is None

@@ -122,12 +122,12 @@ def test_radius_join_geodesic(spark, sf_dir):
     never cuts a true match, and results match brute force."""
     import math
 
-    from geotiff_processor_spark.functions.geo import (
+    from geotiff_processor_spark.functions.geodesic import (
         EARTH_MEAN_RADIUS_M, sql_haversine_cm)
 
     # Paris -> London ~ 343-344 km (reference great-circle value)
     d = spark.sql(
-        "SELECT " + sql_haversine_cm("48857", "2352", "51507", "-127")
+        "SELECT " + sql_haversine_cm("2352", "48857", "-127", "51507")
         + " AS cm").first()["cm"]
     assert 34_300_000 < d < 34_500_000
 
@@ -137,7 +137,7 @@ def test_radius_join_geodesic(spark, sf_dir):
     got = {tuple(r) for r in
            knn.radius_join(geocoded, queries, 500_000.0).collect()}
     # brute force: no prune, plain cross + exact filter
-    hav = sql_haversine_cm("latm", "lonm", "qlatm", "qlonm")
+    hav = sql_haversine_cm("lonm", "latm", "qlonm", "qlatm")
     brute = {tuple(r) for r in
              geocoded.crossJoin(queries)
              .withColumn("dist_cm", F.expr(hav))

@@ -44,3 +44,16 @@ def test_plan_single_shuffle_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_null_keys_never_match(spark):
+    """SQL MERGE's ON t.k = s.k never matches NULL: the target NULL-key
+    row survives and the source NULL-key row inserts (2 rows out, not a
+    merged 1)."""
+    target = spark.createDataFrame([(None, "a"), (1, "t")],
+                                   "k bigint, v string")
+    source = spark.createDataFrame([(None, "b")], "k bigint, v string")
+    rows = sorted(((r["k"], r["v"]) for r in
+                   merge_upsert(target, source, ["k"]).collect()),
+                  key=lambda x: (x[0] is not None, x[0] or 0, x[1]))
+    assert rows == [(None, "a"), (None, "b"), (1, "t")]
