@@ -169,6 +169,60 @@ def session_stream(spark: SparkSession, input_dir: str,
     q.awaitTermination()
 
 
+def run_finalized_stream(spark: SparkSession, name: str, cache_key: str,
+                         build_src, run_stream) -> str:
+    """Shared staging/atomic-publish harness for flush-finalized
+    AvailableNow streams (q_flagship_stream and q_stream_sessions both
+    use it — ONE copy of the subtle mtime-ordering logic):
+
+    - the whole attempt runs inside a UNIQUE work dir; only an atomic
+      rename publishes the finished output, so a killed run can never
+      leave a partial result behind the content key, and concurrent
+      sessions each stage privately (one rename wins, the rest discard);
+    - ``build_src(src_dir, stamp)`` writes the source files; it MUST
+      call ``stamp(step)`` with strictly increasing steps after each
+      write — FileStreamSource orders micro-batches by file mtime, and
+      an mtime tie could process a watermark-flush file before the real
+      data and drop every real row as late;
+    - ``run_stream(src, out, ckpt)`` runs the stream to completion;
+    - the COMMITTED row set is re-materialized to a plain parquet dir
+      (reading the staged sink honors its _spark_metadata exactly-once
+      log, whose absolute staging paths would dangle after a rename).
+
+    Returns the published output dir.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gps_{name}_{cache_key}_out")
+    if not os.path.exists(out):
+        work = tempfile.mkdtemp(
+            prefix=f"gps_{name}_stage_{cache_key}_{uuid.uuid4().hex[:8]}_")
+        src, ckpt, stage_out = f"{work}/src", f"{work}/ckpt", f"{work}/out"
+        seen: set[str] = set()
+
+        def stamp(step: int) -> None:
+            for fname in sorted(os.listdir(src)):
+                p = os.path.join(src, fname)
+                if p not in seen and fname.endswith(".parquet"):
+                    os.utime(p, ns=(step * 10**9, step * 10**9))
+                    seen.add(p)
+
+        build_src(src, stamp)
+        run_stream(src, stage_out, ckpt)
+        clean = f"{work}/clean"
+        spark.read.parquet(stage_out).write.parquet(clean)
+        try:
+            os.rename(clean, out)  # publish only AFTER completion
+        except OSError:
+            pass  # another session already published the same key
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def windowed_throughput(pages: DataFrame,
                         window: str = "1 hour") -> DataFrame:
     """Event-time tumbling window counts over warc_ts (batch or stream;
