@@ -115,6 +115,24 @@ def q_knn(spark, sf_dir):
         _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt crawl gate (operators/robots.py): per-host policy
+    TEXT parsed with native string ops into per-host Disallow-prefix
+    arrays, broadcast, and prefix-matched against every page URL with
+    an exists() lambda — the fetch table never shuffles. The policy
+    formula exercises comments, case-insensitive directives,
+    case-SENSITIVE path prefixes and the empty allow-all Disallow; the
+    DuckDB oracle re-runs the ENTIRE parse on the same text."""
+    from geotiff_processor_spark.operators import robots
+
+    pages = synth.build_pages_staged(spark, sf_dir, with_html=False) \
+        .select("url")
+    pol = spark.range(1000).select(
+        F.expr("'site' || cast(id as string) || '.example'").alias("host"),
+        F.expr(robots.sql_robots_text("id")).alias("robots"))
+    return robots.robots_gate(pages, pol).select("url", "blocked")
+
+
 def q_grouped_median(spark, sf_dir):
     """Exact grouped quantiles (no sketch): per-event-type median and
     p90 of value via Spark's exact `percentile` aggregate — linear
@@ -1717,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "merge_upsert": q_merge_upsert,
         "grouped_median": q_grouped_median,
+        "robots_gate": q_robots_gate,
         "pivot_counts": q_pivot_counts,
         "range_frame": q_range_frame,
         "warc_gzip": q_warc_gzip,
@@ -2050,6 +2069,29 @@ GROUP BY w.doc_id"""
         f" text FROM pages"
     )
     sql["warc_gzip"] = sql["warc_parse"]
+    from geotiff_processor_spark.operators import robots as _rb
+    sql["robots_gate"] = (
+        "WITH " + synth.pages_cte("duckdb") + f""",
+hosts AS (SELECT range AS k FROM range(1000)),
+pol AS (SELECT 'site' || cast(k as string) || '.example' AS host,
+               {_rb.sql_robots_text('k')} AS robots FROM hosts),
+lns AS (SELECT host, trim(l) AS line
+        FROM pol, unnest(string_split(robots, chr(10))) AS t(l)),
+rules AS (SELECT host, trim(substring(line, 10)) AS rule FROM lns
+          WHERE NOT starts_with(line, '#')
+            AND starts_with(lower(line), 'disallow:')
+            AND trim(substring(line, 10)) <> ''),
+ragg AS (SELECT host, list_sort(list(rule)) AS rules
+         FROM rules GROUP BY host),
+pg AS (SELECT url,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS h,
+         regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS p
+       FROM pages)
+SELECT pg.url,
+  CASE WHEN r.rules IS NULL THEN false
+       ELSE len(list_filter(r.rules, x -> starts_with(p, x))) > 0
+  END AS blocked
+FROM pg LEFT JOIN ragg r ON pg.h = r.host""")
     sql["grouped_median"] = """
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS median_v,
