@@ -115,6 +115,41 @@ def q_knn(spark, sf_dir):
         _geocoded(spark, sf_dir), synth.build_knn_queries(spark), k=5)
 
 
+def q_stream_dedup_native(spark, sf_dir):
+    """Spark's NATIVE streaming dedup API
+    (dropDuplicatesWithinWatermark) on a replayed pages feed: the
+    original corpus arrives in batch 1; a full replay (same text,
+    shifted urls and +5-minute timestamps) arrives in batch 2 and is
+    eliminated — recent replays by digest state, stale ones by the
+    watermark itself (both exclusion paths are the API's contract).
+    Emitted set == the distinct content digests, which is the oracle.
+    Complements streaming_dedup (custom applyInPandasWithState form)."""
+    import hashlib
+
+    from geotiff_processor_spark.streaming.ingest import (
+        dedup_within_watermark_stream, run_finalized_stream)
+
+    pages = synth.build_pages_staged(spark, sf_dir, with_html=False)
+    max_real = pages.agg(F.max("warc_ts")).first()[0]
+    key = hashlib.sha256(
+        f"{sf_dir}|ddww|{max_real}|v1".encode()).hexdigest()[:16]
+
+    def build_src(src, stamp):
+        pages.coalesce(1).write.mode("append").parquet(src)
+        stamp(1)
+        (pages.withColumn("url", F.concat(F.lit("r-"), F.col("url")))
+         .withColumn("warc_ts",
+                     F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES"))
+         .coalesce(1).write.mode("append").parquet(src))
+        stamp(2)
+
+    out = run_finalized_stream(
+        spark, "ddww", key, build_src,
+        lambda src, o, ckpt: dedup_within_watermark_stream(
+            spark, src, o, ckpt))
+    return spark.read.parquet(out).select("digest")
+
+
 def q_robots_gate(spark, sf_dir):
     """robots.txt crawl gate (operators/robots.py): per-host policy
     TEXT parsed with native string ops into per-host Disallow-prefix
@@ -1736,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "grouped_median": q_grouped_median,
         "robots_gate": q_robots_gate,
+        "stream_dedup_native": q_stream_dedup_native,
         "pivot_counts": q_pivot_counts,
         "range_frame": q_range_frame,
         "warc_gzip": q_warc_gzip,
@@ -2092,6 +2128,9 @@ SELECT pg.url,
        ELSE len(list_filter(r.rules, x -> starts_with(p, x))) > 0
   END AS blocked
 FROM pg LEFT JOIN ragg r ON pg.h = r.host""")
+    sql["stream_dedup_native"] = (
+        "WITH " + synth.pages_cte("duckdb")
+        + "\nSELECT DISTINCT md5(text) AS digest FROM pages")
     sql["grouped_median"] = """
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS median_v,

@@ -169,6 +169,42 @@ def session_stream(spark: SparkSession, input_dir: str,
     q.awaitTermination()
 
 
+def dedup_within_watermark_stream(spark: SparkSession, input_dir: str,
+                                  output_dir: str, checkpoint_dir: str,
+                                  schema=None,
+                                  watermark: str = "30 minutes") -> None:
+    """Spark's NATIVE streaming dedup (dropDuplicatesWithinWatermark):
+    first occurrence of each content digest passes through, replays
+    within the watermark horizon are dropped, and — unlike plain
+    dropDuplicates — state is EVICTED once the watermark passes a
+    key's last-seen time, so the dedup registry is bounded for an
+    unbounded crawl. Complements streaming/stateful.streaming_dedup
+    (the applyInPandasWithState form, which also tracks a min-id
+    policy); this pins the built-in API's semantics."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    dd = (
+        stream.withColumn("digest", F.md5("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("digest")
+    )
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_finalized_stream(spark: SparkSession, name: str, cache_key: str,
                          build_src, run_stream) -> str:
     """Shared staging/atomic-publish harness for flush-finalized
