@@ -150,6 +150,67 @@ def q_stream_dedup_native(spark, sf_dir):
     return spark.read.parquet(out).select("digest")
 
 
+def q_udtf_fields(spark, sf_dir):
+    """Python UDTF (§2.10, Spark 4 table-function API): a
+    row-to-many-rows field extractor over the pages text, invoked
+    through SQL LATERAL — the user-extensibility slot between scalar
+    UDFs and applyInPandas. The oracle reconstructs the exploded
+    (url, key, value) rows from the generating formulas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, value string")
+    class ParseFields:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i, t in enumerate(toks):
+                if t in ("registro", "kind") and i + 1 < len(toks):
+                    yield (t, toks[i + 1])
+
+    spark.udtf.register("gps_parse_fields", ParseFields)
+    synth.build_pages_staged(spark, sf_dir, with_html=False) \
+        .createOrReplaceTempView("_udtf_pages")
+    return spark.sql(
+        "SELECT p.url, f.key, f.value"
+        " FROM _udtf_pages p, LATERAL gps_parse_fields(p.text) f")
+
+
+def q_edit_distance(spark, sf_dir):
+    """Levenshtein edit distance between each doc and the next doc of
+    its source (typo/near-miss metric; the scalar companion to the
+    set-based dedup family). Window partitioned by source — no global
+    sort; both engines run the same classic DP levenshtein."""
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "doc_id", "source",
+        F.levenshtein("text", F.lead("text", 1).over(w)).alias("dist"))
+
+
+def q_jsonl_source(spark, sf_dir):
+    """JSON-lines source path (sources/textio.py): pages staged as
+    JSONL, read back with an EXPLICIT schema + FAILFAST (inference
+    double-scans at 100 TB), rolled into a loss-detection digest (per
+    lang: counts, text bytes, url/timestamp hash sums). The oracle
+    recomputes the digest from the pages formulas, so any quoting,
+    escaping or timestamp-format bug in EITHER direction of the round
+    trip breaks the hash."""
+    from geotiff_processor_spark.sources import textio
+
+    return textio.pages_digest(textio.read_pages_jsonl(spark, sf_dir))
+
+
+def q_csv_source(spark, sf_dir):
+    """CSV source path: same loss-detection digest as q_jsonl_source
+    over a quoted-all CSV stage with explicit schema + FAILFAST —
+    separators inside text, header handling and timestamp parsing are
+    all on the hook."""
+    from geotiff_processor_spark.sources import textio
+
+    return textio.pages_digest(textio.read_pages_csv(spark, sf_dir))
+
+
 def q_robots_gate(spark, sf_dir):
     """robots.txt crawl gate (operators/robots.py): per-host policy
     TEXT parsed with native string ops into per-host Disallow-prefix
@@ -1771,6 +1832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "grouped_median": q_grouped_median,
         "robots_gate": q_robots_gate,
+        "jsonl_source": q_jsonl_source,
+        "udtf_fields": q_udtf_fields,
+        "edit_distance": q_edit_distance,
+        "csv_source": q_csv_source,
         "stream_dedup_native": q_stream_dedup_native,
         "pivot_counts": q_pivot_counts,
         "range_frame": q_range_frame,
@@ -2131,6 +2196,30 @@ FROM pg LEFT JOIN ragg r ON pg.h = r.host""")
     sql["stream_dedup_native"] = (
         "WITH " + synth.pages_cte("duckdb")
         + "\nSELECT DISTINCT md5(text) AS digest FROM pages")
+    from geotiff_processor_spark.operators.dedup import sql_hash60 as _h60
+    _digest_sql = (
+        "WITH " + synth.pages_cte("duckdb") + f"""
+SELECT lang, count(*) AS n_pages,
+  cast(sum(length(text)) as bigint) AS n_text_chars,
+  cast(sum({_h60('url', 'duckdb')} % 1000000007) as bigint)
+    AS url_hash_sum,
+  cast(sum({_h60('cast(warc_ts as string)', 'duckdb')} % 1000000007)
+    as bigint) AS ts_hash_sum
+FROM pages GROUP BY lang""")
+    sql["jsonl_source"] = _digest_sql
+    sql["udtf_fields"] = (
+        "WITH " + synth.pages_cte("duckdb") + f"""
+SELECT {synth.SQL_URL} AS url, 'registro' AS key,
+  cast({synth.SQL_REGISTROID} as string) AS value FROM p0
+UNION ALL
+SELECT {synth.SQL_URL} AS url, 'kind' AS key,
+  {synth.SQL_KIND} AS value FROM p0""")
+    sql["edit_distance"] = """
+SELECT doc_id, source,
+  cast(levenshtein(text, lead(text, 1) OVER w) as integer) AS dist
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY doc_id)"""
+    sql["csv_source"] = _digest_sql
     sql["grouped_median"] = """
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS median_v,
