@@ -1710,7 +1710,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-5b rotation: twelve NEVER-driver-checked operators rotate
     # in (asof_join, geoparse_pip, decode_geotiff, warc_parse,
     # scd2_history, bloom_join, stream_sessions, image_dhash, winnow,
-    # kmv_distinct, bm25, postings) displacing twelve rows that were
+    # kmv_distinct, bm25, postings — then robots_gate, geotiff_pipeline,
+    # merge_upsert and jsonl_source for simhash / ann_lsh /
+    # reproject_lcc / shuffle_rank, each a SECOND-or-third prefix
+    # representative of its family: the dedup family keeps
+    # minhash_candidates + ngram_jaccard + line_dedup + dedup_canonical
+    # + substr_dedup checked, ANN keeps ann_cosine + ann_ivf, the
+    # native-CRS rule keeps reproject_utm, corpus assembly keeps
+    # pack_sequences + source_cap) displacing rows that were
     # driver-green 'o' in round 4 and keep full DIFFCHECK + pytest
     # coverage: cell_encode (cell rule embedded in the checked knn
     # path), tile_counts (tile exprs also in flagship_stream),
@@ -1735,10 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "flagship_stream": q_flagship_stream,
         "ann_cosine": q_ann_cosine,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "minhash_candidates": q_minhash_candidates,
-        "simhash": q_simhash,
         "pip_general": q_pip_general,
         "hillshade": q_hillshade,
         "pagerank": q_pagerank,
@@ -1752,7 +1757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "metadata_map": q_metadata_map,
         "reproject_utm": q_reproject_utm,
-        "reproject_lcc": q_reproject_lcc,
         "line_dedup": q_line_dedup,
         "dedup_canonical": q_dedup_canonical,
         "repetition_signals": q_repetition_signals,
@@ -1762,7 +1766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
-        "shuffle_rank": q_shuffle_rank,
         "pack_sequences": q_pack_sequences,
         "source_cap": q_source_cap,
         "sessionize": q_sessionize,
@@ -1778,9 +1781,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "bm25": q_bm25,
         "postings": q_postings,
+        "robots_gate": q_robots_gate,
+        "geotiff_pipeline": q_geotiff_pipeline,
+        "merge_upsert": q_merge_upsert,
+        "jsonl_source": q_jsonl_source,
         # --- tail: beyond the driver's 50-query checked prefix (see the
         # rationale comment above); all stay registered for pytest,
         # bench, manual runs, and the all-72 differential artifact.
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "reproject_lcc": q_reproject_lcc,
+        "shuffle_rank": q_shuffle_rank,
         "cell_encode": q_cell_encode,
         "tile_counts": q_tile_counts,
         "pyramid_l8": q_pyramid_l8,
@@ -1827,12 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "reproject_albers": q_reproject_albers,
         "decode_video": q_decode_video,
-        "geotiff_pipeline": q_geotiff_pipeline,
         "radius_join": q_radius_join,
-        "merge_upsert": q_merge_upsert,
         "grouped_median": q_grouped_median,
-        "robots_gate": q_robots_gate,
-        "jsonl_source": q_jsonl_source,
         "udtf_fields": q_udtf_fields,
         "edit_distance": q_edit_distance,
         "csv_source": q_csv_source,

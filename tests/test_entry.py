@@ -59,17 +59,21 @@ def test_driver_checked_prefix_covers_distinct_operators():
         "asof_join", "geoparse_pip", "decode_geotiff", "warc_parse",
         "scd2_history", "bloom_join", "stream_sessions", "image_dhash",
         "winnow", "kmv_distinct", "bm25", "postings",
+        # round-5b second wave: four more never-checked operators in
+        # for second/third family representatives (simhash, ann_lsh,
+        # reproject_lcc, shuffle_rank -> tail, all r4-green + diffcheck)
+        "robots_gate", "geotiff_pipeline", "merge_upsert",
+        "jsonl_source",
         # round-4 additions
         "substr_dedup", "bpe_merges", "flagship_stream",
         "pagerank", "streaming_dedup",
         # one representative per long-standing family
         "pip_count", "pip_general", "knn", "zonal_stats", "hillshade",
         "outline_components", "minhash_candidates",
-        "ngram_jaccard", "simhash", "embedding_near_dup", "ann_cosine",
-        "ann_lsh", "ann_ivf",
-        "reproject_utm", "reproject_lcc", "metadata_map", "line_dedup",
+        "ngram_jaccard", "embedding_near_dup", "ann_cosine", "ann_ivf",
+        "reproject_utm", "metadata_map", "line_dedup",
         "dedup_canonical", "lm_score", "decontaminate", "vocab_topk",
-        "pack_sequences", "source_cap", "shuffle_rank", "sessionize",
+        "pack_sequences", "source_cap", "sessionize",
         "stratified_sample", "pii_scrub", "chunk_tokens",
         "repetition_signals", "text_quality",
     }
