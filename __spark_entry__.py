@@ -229,6 +229,34 @@ def q_robots_gate(spark, sf_dir):
     return robots.robots_gate(pages, pol).select("url", "blocked")
 
 
+def q_ntile_buckets(spark, sf_dir):
+    """Equi-depth bucketing via ntile(10) per event type (the quantile
+    bucketing a feature pipeline runs before binning): deterministic
+    total order (value, event_id), rolled up to per-(type, bucket)
+    counts and cents-exact value sums."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (ev.withColumn("bucket", F.ntile(10).over(w))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("sum(cast(round(value * 100) as bigint))")
+                 .alias("sum_c")))
+
+
+def q_dispersion_stats(spark, sf_dir):
+    """Sample variance / stddev / value range per event type — the
+    dispersion aggregates (Welford-style partial merges in both
+    engines; 6-decimal rounding absorbs summation-order drift)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.stddev_samp("value"), 6).alias("std_v"),
+        F.round(F.max("value") - F.min("value"), 6).alias("range_v"),
+        F.count(F.lit(1)).alias("n"))
+
+
 def q_grouped_median(spark, sf_dir):
     """Exact grouped quantiles (no sketch): per-event-type median and
     p90 of value via Spark's exact `percentile` aggregate — linear
@@ -1842,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_median": q_grouped_median,
         "udtf_fields": q_udtf_fields,
         "edit_distance": q_edit_distance,
+        "ntile_buckets": q_ntile_buckets,
+        "dispersion_stats": q_dispersion_stats,
         "csv_source": q_csv_source,
         "stream_dedup_native": q_stream_dedup_native,
         "pivot_counts": q_pivot_counts,
@@ -2227,6 +2257,24 @@ SELECT doc_id, source,
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY doc_id)"""
     sql["csv_source"] = _digest_sql
+    sql["ntile_buckets"] = """
+WITH b AS (
+  SELECT event_type, value,
+    ntile(10) OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT event_type, cast(bucket as integer) AS bucket,
+  count(*) AS n,
+  cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_c
+FROM b GROUP BY event_type, bucket"""
+    sql["dispersion_stats"] = """
+SELECT event_type,
+  round(var_samp(value), 6) AS var_v,
+  round(stddev_samp(value), 6) AS std_v,
+  round(max(value) - min(value), 6) AS range_v,
+  count(*) AS n
+FROM events GROUP BY event_type"""
     sql["grouped_median"] = """
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS median_v,
