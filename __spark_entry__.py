@@ -257,6 +257,41 @@ def q_dispersion_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch (operators/sketch.cms_token_counts): token
+    frequencies estimated from a depth x width counter table — unlike
+    HLL, a pure function of the data given the md5-derived row hashes,
+    so build AND query hash-check against DuckDB. Width deliberately
+    tiny (16) so collisions are real and min-over-depth matters; the
+    cms >= exact overestimate guarantee is pinned in pytest."""
+    from geotiff_processor_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.cms_token_counts(docs)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC changelog (operators/merge.snapshot_diff): diff the
+    documents snapshot against its merge_upsert result — the emitted
+    changelog must be exactly the applied change set (every 7th doc
+    'update', every 31st a negative-key 'insert', no deletes, no
+    unchanged rows). One full-outer key join with null-safe column
+    compares; the oracle states the diff rule independently."""
+    from geotiff_processor_spark.operators.merge import (
+        merge_upsert, snapshot_diff)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.upper(F.col("text")).alias("text"), "lang",
+        "source", "n_chars")
+    inserts = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text", "lang",
+        F.lit("new").alias("source"), "n_chars")
+    new_snap = merge_upsert(docs, updates.unionByName(inserts),
+                            ["doc_id"])
+    return snapshot_diff(docs, new_snap, ["doc_id"])
+
+
 def q_grouped_median(spark, sf_dir):
     """Exact grouped quantiles (no sketch): per-event-type median and
     p90 of value via Spark's exact `percentile` aggregate — linear
@@ -1872,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": q_edit_distance,
         "ntile_buckets": q_ntile_buckets,
         "dispersion_stats": q_dispersion_stats,
+        "snapshot_diff": q_snapshot_diff,
+        "cms_counts": q_cms_counts,
         "csv_source": q_csv_source,
         "stream_dedup_native": q_stream_dedup_native,
         "pivot_counts": q_pivot_counts,
@@ -2257,6 +2294,39 @@ SELECT doc_id, source,
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY doc_id)"""
     sql["csv_source"] = _digest_sql
+    sql["cms_counts"] = """
+WITH toks AS (
+  SELECT t AS tok FROM documents,
+    unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''
+),
+hashed AS (
+  SELECT tok, d,
+    cast(('0x' || substring(md5(concat('cms', d, ':', tok)), 1, 15)) as bigint) % 16 AS b
+  FROM toks, unnest([0, 1, 2, 3]) AS dd(d)
+),
+sk AS (SELECT d, b, count(*) AS cnt FROM hashed GROUP BY d, b),
+ex AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok),
+qb AS (
+  SELECT tok, exact_count, d,
+    cast(('0x' || substring(md5(concat('cms', d, ':', tok)), 1, 15)) as bigint) % 16 AS b
+  FROM ex, unnest([0, 1, 2, 3]) AS dd(d)
+)
+SELECT qb.tok, cast(min(sk.cnt) as bigint) AS cms_count,
+  cast(exact_count as bigint) AS exact_count
+FROM qb JOIN sk ON qb.d = sk.d AND qb.b = sk.b
+GROUP BY qb.tok, qb.exact_count"""
+    sql["snapshot_diff"] = """
+WITH upd AS (
+  SELECT doc_id, upper(text) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND upper(text) <> text
+),
+ins AS (
+  SELECT -(doc_id + 1) AS doc_id, text, lang, 'new' AS source, n_chars
+  FROM documents WHERE doc_id % 31 = 0
+)
+SELECT 'update' AS op, doc_id, text, lang, source, n_chars FROM upd
+UNION ALL
+SELECT 'insert' AS op, doc_id, text, lang, source, n_chars FROM ins"""
     sql["ntile_buckets"] = """
 WITH b AS (
   SELECT event_type, value,

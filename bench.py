@@ -47,7 +47,9 @@ HEADLINE = [
     "reproject_albers", "warc_parse", "image_dhash",
     "asof_join", "scd2_history", "bloom_join", "geoparse_pip",
     "decode_geotiff", "warc_gzip", "radius_join", "merge_upsert",
-    "geotiff_pipeline",
+    "geotiff_pipeline", "robots_gate", "jsonl_source", "csv_source",
+    "udtf_fields", "edit_distance", "grouped_median", "pivot_counts",
+    "range_frame", "ntile_buckets", "dispersion_stats",
 ]
 # bpe_merges, bpe_apply, flagship_stream and stream_sessions are
 # deliberately NOT in the headline: their wall time is fixed-cost

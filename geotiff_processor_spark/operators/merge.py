@@ -23,6 +23,56 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: list[str]) -> DataFrame:
+    """Changelog between two keyed snapshots — the INVERSE of
+    ``merge_upsert``: (op, key, attrs...) rows where op is 'insert'
+    (key only in new), 'delete' (key only in old) or 'update' (key in
+    both, any non-key column differs null-safely); unchanged rows are
+    dropped. Attrs come from the NEW side for insert/update and the
+    OLD side for delete — exactly what a downstream consumer applies.
+
+    Scale shape: one full-outer sort-merge join on the key (both
+    sides shuffle once — unavoidable for a diff), null-safe column
+    compares inside codegen, nothing wide carried beyond the two
+    snapshots' own columns. NULL keys follow MERGE semantics (never
+    match): an old NULL-key row reads as delete, a new one as insert.
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schemas differ: {sorted(old.columns)} vs"
+            f" {sorted(new.columns)}")
+    rest = [c for c in old.columns if c not in key_cols]
+    # rename EVERY column on both sides: old and new often share
+    # lineage (a snapshot diffed against its own merge result), and
+    # same-name attribute references would be ambiguous self-join refs
+    o = old.select(*[F.col(c).alias(f"_o_{c}") for c in key_cols],
+                   *[F.col(c).alias(f"_o_{c}") for c in rest],
+                   F.lit(True).alias("_in_old"))
+    n = new.select(*[F.col(c).alias(f"_n_{c}") for c in key_cols],
+                   *[F.col(c).alias(f"_n_{c}") for c in rest],
+                   F.lit(True).alias("_in_new"))
+    cond = None
+    for c in key_cols:
+        # plain equality: NULL keys never match
+        eq = F.col(f"_o_{c}") == F.col(f"_n_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in rest:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (F.when(F.col("_in_old").isNull(), F.lit("insert"))
+          .when(F.col("_in_new").isNull(), F.lit("delete"))
+          .when(changed, F.lit("update")))
+    out_key = [F.coalesce(F.col(f"_o_{c}"), F.col(f"_n_{c}")).alias(c)
+               for c in key_cols]
+    out_attr = [
+        F.when(F.col("_in_new").isNull(), F.col(f"_o_{c}"))
+        .otherwise(F.col(f"_n_{c}")).alias(c) for c in rest]
+    return (j.withColumn("op", op).filter(F.col("op").isNotNull())
+            .select("op", *out_key, *out_attr))
+
+
 def merge_upsert(target: DataFrame, source: DataFrame,
                  key_cols: list[str]) -> DataFrame:
     """Upserted snapshot: same schema as ``target``; ``source`` must

@@ -102,3 +102,52 @@ SELECT {gsel}cast(count(*) as bigint) AS n_min,
        END AS est_distinct
 FROM ranked WHERE rn <= {k} {gby}
 """
+
+
+def cms_token_counts(docs: DataFrame, text_col: str = "text",
+                     depth: int = 4, width: int = 16) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, evaluated against the exact counts:
+    (token, cms_count, exact_count).
+
+    Unlike HLL-style sketches, CMS is a PURE FUNCTION of the data given
+    fixed hash functions (md5-derived row hashes here), so the whole
+    build+query chain is oracle-checkable. The sketch itself is
+    depth x width counters built with ONE partial-agg shuffle of
+    (row, bucket) pairs — bounded size at ANY corpus scale; estimates
+    are min-over-rows via a broadcast join of the tiny counter table.
+    The default width is deliberately SMALL so collisions are real and
+    the min-over-depth rule is genuinely exercised (cms >= exact, with
+    strict overestimates present); production sizes width ~ e/eps.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    def _bucket_sql(d: int) -> str:
+        h = sql_hash60(f"concat('cms', {d}, ':', tok)")
+        return f"({h} % {width})"
+
+    buckets = [F.expr(_bucket_sql(d)).alias(f"b{d}")
+               for d in range(depth)]
+    hashed = toks.select("tok", *buckets)
+    pairs = hashed.select(
+        "tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
+            for d in range(depth)])).alias("p"))
+    sketch = (pairs.groupBy("p.d", "p.b")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    qbuckets = exact.select(
+        "tok", "exact_count",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     F.expr(_bucket_sql(d)).alias("b"))
+            for d in range(depth)])).alias("p"))
+    est = (qbuckets.join(F.broadcast(sketch),
+                         (F.col("p.d") == sketch["d"])
+                         & (F.col("p.b") == sketch["b"]))
+           .groupBy("tok", "exact_count")
+           .agg(F.min("cnt").alias("cms_count")))
+    return est.select("tok", "cms_count", "exact_count")

@@ -57,3 +57,44 @@ def test_null_keys_never_match(spark):
                    merge_upsert(target, source, ["k"]).collect()),
                   key=lambda x: (x[0] is not None, x[0] or 0, x[1]))
     assert rows == [(None, "a"), (None, "b"), (1, "t")]
+
+
+def test_snapshot_diff_semantics(spark):
+    from geotiff_processor_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "x")], "k bigint, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (None, "y")], "k bigint, v string")
+    got = {(r["op"], r["k"], r["v"]) for r in
+           snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {("update", 2, "B"), ("delete", 3, "c"),
+                   ("insert", 4, "d"),
+                   # NULL keys never match: old deletes, new inserts
+                   ("delete", None, "x"), ("insert", None, "y")}
+
+
+def test_snapshot_diff_inverse_of_merge(spark, sf_dir):
+    """diff(old, merge(old, changes)) == changes (when changes really
+    change something) — the two operators are inverses."""
+    from geotiff_processor_spark.operators.merge import (
+        merge_upsert, snapshot_diff)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as FF
+    ups = docs.filter(FF.col("doc_id") % 7 == 0).select(
+        "doc_id", FF.upper(FF.col("text")).alias("text"), "lang",
+        "source", "n_chars")
+    ins = docs.filter(FF.col("doc_id") % 31 == 0).select(
+        (-(FF.col("doc_id") + 1)).alias("doc_id"), "text", "lang",
+        FF.lit("new").alias("source"), "n_chars")
+    merged = merge_upsert(docs, ups.unionByName(ins), ["doc_id"])
+    diff = snapshot_diff(docs, merged, ["doc_id"])
+    ops = {r["op"]: r["n"] for r in
+           diff.groupBy("op").agg(FF.count("*").alias("n")).collect()}
+    assert ops.get("insert", 0) == ins.count()
+    assert ops.get("delete", 0) == 0
+    assert ops.get("update", 0) <= ups.count()
+    assert ops.get("update", 0) == ups.join(
+        docs.select("doc_id", FF.col("text").alias("_t")), "doc_id") \
+        .filter(FF.col("text") != FF.col("_t")).count()

@@ -55,3 +55,19 @@ def test_kmv_two_phase_equals_direct_min_k(spark):
         import math
         exp = round(31 * 2.0 ** 60 / float(direct[31]), 6)
         assert est == exp, n_salts
+
+
+def test_cms_overestimates_never_under(spark, sf_dir):
+    """CMS guarantee: estimate >= exact for every token, with strict
+    overestimates actually present at width 16 (collisions are real),
+    and exact equality for the min-over-depth winner paths."""
+    from geotiff_processor_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sketch.cms_token_counts(docs).collect()
+    assert rows
+    assert all(r["cms_count"] >= r["exact_count"] for r in rows)
+    assert any(r["cms_count"] > r["exact_count"] for r in rows)
+    # a generous width removes collisions entirely: estimates exact
+    wide = sketch.cms_token_counts(docs, width=1 << 20).collect()
+    assert all(r["cms_count"] == r["exact_count"] for r in wide)
