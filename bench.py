@@ -50,6 +50,7 @@ HEADLINE = [
     "geotiff_pipeline", "robots_gate", "jsonl_source", "csv_source",
     "udtf_fields", "edit_distance", "grouped_median", "pivot_counts",
     "range_frame", "ntile_buckets", "dispersion_stats",
+    "snapshot_diff", "cms_counts",
 ]
 # bpe_merges, bpe_apply, flagship_stream and stream_sessions are
 # deliberately NOT in the headline: their wall time is fixed-cost
