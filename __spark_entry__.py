@@ -1796,7 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows — sit at the
     # TAIL so every DISTINCT operator gets a driver-checked row; the
     # tail stays registered for pytest, bench, manual runs, and the
-    # all-72 differential artifact (scripts/diffcheck.py -> DIFFCHECK).
+    # all-query differential artifact (scripts/diffcheck.py -> DIFFCHECK).
     return {
         "pip_count": q_pip_count,
         "knn": q_knn,
@@ -1850,7 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_source": q_jsonl_source,
         # --- tail: beyond the driver's 50-query checked prefix (see the
         # rationale comment above); all stay registered for pytest,
-        # bench, manual runs, and the all-72 differential artifact.
+        # bench, manual runs, and the all-query differential artifact.
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "reproject_lcc": q_reproject_lcc,
