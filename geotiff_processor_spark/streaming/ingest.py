@@ -139,7 +139,16 @@ def session_stream(spark: SparkSession, input_dir: str,
     arrive and are emitted exactly once when the watermark passes
     ``last_event + gap``. State is bounded by open sessions x keys;
     watermark expiry is what closes them (the streaming counterpart
-    of operators/sessions.py's batch gaps-and-islands)."""
+    of operators/sessions.py's batch gaps-and-islands).
+
+    The event-time column is cast to TIMESTAMP (LTZ) before the
+    watermark — parquet written with isAdjustedToUTC=false round-trips
+    as TIMESTAMP_NTZ under Spark 4's inference and withWatermark
+    rejects NTZ outright; the window bounds are cast back to
+    TIMESTAMP_NTZ on output so emitted wall-clock values are identical
+    to the source's regardless of where the feed's files came from
+    (the session timezone is pinned to UTC, so both casts are exact
+    inverses)."""
     if schema is None:
         schema = spark.read.parquet(input_dir).schema
     stream = (
@@ -148,14 +157,17 @@ def session_stream(spark: SparkSession, input_dir: str,
         .parquet(input_dir)
     )
     agg = (
-        stream.withWatermark("ts", watermark)
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(F.expr("cast(round(value * 100) as bigint)"))
              .alias("total_value_c"))
         .select("user_id",
-                F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"),
+                F.col("w.start").cast("timestamp_ntz")
+                .alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz")
+                .alias("session_end"),
                 "n_events", "total_value_c")
     )
     q = (
@@ -190,6 +202,8 @@ def dedup_within_watermark_stream(spark: SparkSession, input_dir: str,
     )
     dd = (
         stream.withColumn("digest", F.md5("text"))
+        # NTZ-proof (see session_stream): watermark requires TIMESTAMP
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["digest"])
         .select("digest")
