@@ -1717,6 +1717,68 @@ def q_vocab_topk(spark, sf_dir):
     return textprep.vocab_topk(docs.select("text"))
 
 
+def q_hilbert_cells(spark, sf_dir):
+    """Hilbert space-filling-curve cell index (functions/hilbert.py) —
+    the S2-style ordering the north star names: consecutive curve
+    positions are always grid neighbours, so sorting/bucketing the
+    pages table by ``hilbert_d`` co-locates spatially-near pages and a
+    bbox query prunes to a few CONTIGUOUS d-ranges (Z-order/quadkey
+    ranges jump). The unrolled xy2d walk runs as L chained native
+    integer CASE stages inside whole-stage codegen — no UDF; the
+    DuckDB oracle executes the IDENTICAL generated text. Output:
+    per 64-cell curve block, page count, distinct cells and the d
+    span (d_max - d_min <= 63 by construction — the locality pitch
+    made checkable)."""
+    from geotiff_processor_spark.functions import geo
+    from geotiff_processor_spark.functions import hilbert as H
+
+    g = _geocoded(spark, sf_dir).select(
+        "url",
+        F.expr(geo.sql_cell_xq("lonm", 8)).alias("xq"),
+        F.expr(geo.sql_cell_yq("latm", 8)).alias("yq"))
+    hd = H.with_hilbert(g, "xq", "yq", level=8)
+    return (hd.groupBy(F.expr("cast(floor(hilbert_d / 64) as bigint)")
+                       .alias("block"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("hilbert_d").alias("n_cells"),
+                 F.min("hilbert_d").alias("d_min"),
+                 F.max("hilbert_d").alias("d_max")))
+
+
+def q_datum_shift(spark, sf_dir):
+    """Helmert 7-parameter datum transformation (functions/datum.py):
+    OSGB36 (Airy 1830) coordinates to WGS84 via geodetic->ECEF->
+    position-vector similarity->Bowring inverse — the datum-shift gap
+    VERDICT r4 carried (reference analog: implicit PROJ shifts behind
+    osr, helpers.py:45-48). Native expressions only, one fused codegen
+    stage, zero shuffles; the oracle runs the same generated chain."""
+    from geotiff_processor_spark.functions import datum as D
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = events.select(F.col("event_id").alias("i")).select(
+        F.expr(synth.SQL_URL).alias("url"),
+        F.expr(D.SQL_OSGB_LAT).alias("lat_src"),
+        F.expr(D.SQL_OSGB_LON).alias("lon_src"))
+    return D.with_datum_shift(src).select(
+        "url", "lat_src", "lon_src", "lat_dst", "lon_dst")
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog per-event-type distinct users over EXPLICIT
+    md5-derived registers (operators/sketch.py) — mergeable-register
+    sketch shape (groupBy bucket -> max rho; O(m) state per group)
+    beside kmv_distinct's k-minima shape. Spark's built-in
+    approx_count_distinct has an engine-private register layout and
+    can never hash-match another engine; this one is a pure function
+    of the data, so the full build+estimate chain is oracle-checked,
+    small-range linear-counting branch included."""
+    from geotiff_processor_spark.operators import sketch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketch.hll_distinct(
+        events, "cast(user_id as string)", ["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -1797,6 +1859,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # TAIL so every DISTINCT operator gets a driver-checked row; the
     # tail stays registered for pytest, bench, manual runs, and the
     # all-query differential artifact (scripts/diffcheck.py -> DIFFCHECK).
+    # round-5c rotation: three NEW operators in — hilbert_cells (the
+    # S2-style space-filling-curve index the north star names; no
+    # prior curve-order coverage), datum_shift (Helmert 7-parameter
+    # transform — closes VERDICT r4 "missing #3" datum residual), and
+    # hll_distinct (mergeable-register sketch beside kmv_distinct's
+    # k-minima shape) — displacing three r4-green rows whose families
+    # keep multiple prefix representatives: pii_scrub (textprep keeps
+    # chunk_tokens + repetition_signals + decontaminate + lm_score +
+    # stratified_sample), line_dedup (dedup keeps minhash_candidates +
+    # ngram_jaccard + dedup_canonical + substr_dedup + streaming_dedup),
+    # source_cap (corpus keeps pack_sequences + vocab_topk); all three
+    # stay in DIFFCHECK + pytest at the tail head.
     return {
         "pip_count": q_pip_count,
         "knn": q_knn,
@@ -1820,17 +1894,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "metadata_map": q_metadata_map,
         "reproject_utm": q_reproject_utm,
-        "line_dedup": q_line_dedup,
+        "hll_distinct": q_hll_distinct,
         "dedup_canonical": q_dedup_canonical,
         "repetition_signals": q_repetition_signals,
         "chunk_tokens": q_chunk_tokens,
-        "pii_scrub": q_pii_scrub,
+        "hilbert_cells": q_hilbert_cells,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "pack_sequences": q_pack_sequences,
-        "source_cap": q_source_cap,
+        "datum_shift": q_datum_shift,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "geoparse_pip": q_geoparse_pip,
@@ -1851,6 +1925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: beyond the driver's 50-query checked prefix (see the
         # rationale comment above); all stay registered for pytest,
         # bench, manual runs, and the all-query differential artifact.
+        "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
+        "source_cap": q_source_cap,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "reproject_lcc": q_reproject_lcc,
@@ -2219,6 +2296,31 @@ GROUP BY w.doc_id"""
     from geotiff_processor_spark.operators.sketch import sql_kmv_distinct
     sql["kmv_distinct"] = sql_kmv_distinct(
         "cast(user_id as varchar)", "events", ["event_type"], k=128)
+    from geotiff_processor_spark.operators.sketch import sql_hll_distinct
+    sql["hll_distinct"] = sql_hll_distinct(
+        "cast(user_id as varchar)", "events", ["event_type"])
+    from geotiff_processor_spark.functions import datum as _D
+    _dchain = _D.sql_datum_chain("SELECT url, lat_src, lon_src FROM s0")
+    sql["datum_shift"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),
+s0 AS (
+  SELECT {synth.SQL_URL} AS url,
+    {_D.SQL_OSGB_LAT} AS lat_src,
+    {_D.SQL_OSGB_LON} AS lon_src
+  FROM p0
+)
+SELECT url, lat_src, lon_src, lat_dst, lon_dst FROM ({_dchain})"""
+    from geotiff_processor_spark.functions import hilbert as _H
+    from geotiff_processor_spark.functions.geo import (
+        sql_cell_xq as _sxq, sql_cell_yq as _syq)
+    _hchain = _H.sql_hilbert_chain(
+        f"SELECT url, {_sxq('lonm', 8)} AS xq, {_syq('latm', 8)} AS yq"
+        " FROM geocoded", "xq", "yq", 8)
+    sql["hilbert_cells"] = _with_geo("", f"""
+SELECT cast(floor(hilbert_d / 64) as bigint) AS block,
+       count(*) AS n_pages,
+       count(DISTINCT hilbert_d) AS n_cells,
+       min(hilbert_d) AS d_min, max(hilbert_d) AS d_max
+FROM ({_hchain}) GROUP BY 1""")
     from geotiff_processor_spark.operators.textprep import sql_winnow
     sql["winnow"] = sql_winnow()
     from geotiff_processor_spark.functions.text import sql_extract_text

@@ -26,6 +26,8 @@ hazard of naive per-group windows).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -151,3 +153,111 @@ def cms_token_counts(docs: DataFrame, text_col: str = "text",
            .groupBy("tok", "exact_count")
            .agg(F.min("cnt").alias("cms_count")))
     return est.select("tok", "cms_count", "exact_count")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (explicit md5-derived registers => oracle-checkable)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64            # registers (p = 6 bucket bits)
+HLL_ALPHA = 0.709     # Flajolet et al. 2007 bias constant for m = 64
+_HLL_VBITS = 54       # rank bits: 60-bit hash minus 6 bucket bits
+
+
+def _sql_hll_rho() -> str:
+    """rho(h) = leading-zero count of the high 54 hash bits, + 1.
+
+    v = h >> 6 and v >= 2^k  <=>  h >= 2^(k+6) (h = 64 v + r, r < 64),
+    so the rank is a pure threshold CASE on h itself — no division, no
+    log, bit-identical in any engine. h must be a column named ``h``.
+    """
+    whens = "".join(
+        f" WHEN h >= {1 << (_HLL_VBITS + 6 - rho)} THEN {rho}"
+        for rho in range(1, _HLL_VBITS + 1))
+    return f"(CASE{whens} ELSE {_HLL_VBITS + 1} END)"
+
+
+def _sql_hll_estimate() -> str:
+    """Estimate from (n_regs, s_present): the harmonic sum is kept as
+    an EXACT INTEGER (sum of 2^(55-reg), each a bigint; empty registers
+    contribute 2^55), so the only floating-point steps are one division
+    and the final round — deterministic across engines. Small-range
+    (linear counting) branch constants are Python-side literals, so
+    both engines compare and emit the very same doubles."""
+    two55 = 1 << (_HLL_VBITS + 1)
+    num = repr(HLL_ALPHA * HLL_M * HLL_M * float(two55))
+    s_total = f"(s_present + ({HLL_M} - n_regs) * {two55})"
+    raw = f"({num} / cast({s_total} as double))"
+    lin = "".join(
+        f" WHEN n_regs = {HLL_M - e} THEN "
+        f"{round(HLL_M * math.log(HLL_M / e), 6)!r}"
+        for e in range(1, HLL_M))
+    return (f"(CASE WHEN n_regs < {HLL_M} AND {raw} <= {2.5 * HLL_M!r}"
+            f" THEN (CASE{lin} ELSE 0.0 END)"
+            f" ELSE round({raw}, 6) END)")
+
+
+def hll_distinct(df: DataFrame, key_col: str,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate
+    (Flajolet/Fusy/Gandouet/Meunier 2007, public literature), over
+    explicit md5-derived registers so — unlike Spark's built-in
+    approx_count_distinct, whose register layout is engine-private —
+    the WHOLE sketch is a pure function of the data and hash-matches
+    the DuckDB oracle. Complements kmv_distinct: HLL registers are
+    O(m) per group and MERGEABLE by max(), the shape a 100 TB pipeline
+    streams; KMV keeps k raw minima.
+
+    Returns (group_cols..., n_registers bigint, est_distinct double).
+
+    Scale shape: ONE corpus-sized partial-agg exchange —
+    groupBy(group, bucket).max(rho) — carrying only small ints (key
+    text is hashed map-side and never shuffles); the per-group fold of
+    64 registers is a second, register-bounded agg.
+    """
+    groups = list(group_cols or [])
+    h = df.select(*groups, F.expr(sql_hash60(key_col)).alias("h"))
+    regs = (h.withColumn("bucket", F.expr(f"h % {HLL_M}"))
+            .withColumn("rho", F.expr(_sql_hll_rho()))
+            .groupBy(*groups, "bucket")
+            .agg(F.max("rho").alias("reg")))
+    agg_keys = groups if groups else [F.lit(1).alias("_g")]
+    out = (regs.groupBy(*agg_keys)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+                F.sum(F.expr(
+                    f"cast(pow(2, {_HLL_VBITS + 1} - reg) as bigint)"))
+                .alias("s_present")))
+    out = (out.withColumn("est_distinct", F.expr(_sql_hll_estimate()))
+           .withColumn("n_registers", F.col("n_regs"))
+           .drop("n_regs", "s_present"))
+    if not groups:
+        out = out.drop("_g")
+    return out.select(*groups, "n_registers", "est_distinct")
+
+
+def sql_hll_distinct(key_expr: str, table: str,
+                     group_cols: list[str] | None = None,
+                     where: str = "") -> str:
+    """The identical estimate as DuckDB SQL (same generated rho CASE,
+    same integer harmonic sum, same literal constants)."""
+    groups = list(group_cols or [])
+    gsel = ", ".join(groups) + (", " if groups else "")
+    gby1 = "GROUP BY " + ", ".join(groups + ["bucket"])
+    gby2 = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    h = sql_hash60(key_expr, dialect="duckdb")
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}{h} AS h FROM {table} {where}
+), regs AS (
+  SELECT {gsel}h % {HLL_M} AS bucket,
+         max({_sql_hll_rho()}) AS reg
+  FROM hashed {gby1}
+), folded AS (
+  SELECT {gsel}cast(count(*) as bigint) AS n_regs,
+         sum(cast(pow(2, {_HLL_VBITS + 1} - reg) as bigint)) AS s_present
+  FROM regs {gby2}
+)
+SELECT {gsel}n_regs AS n_registers,
+       {_sql_hll_estimate()} AS est_distinct
+FROM folded
+"""

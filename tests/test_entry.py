@@ -71,11 +71,16 @@ def test_driver_checked_prefix_covers_distinct_operators():
         "pip_count", "pip_general", "knn", "zonal_stats", "hillshade",
         "outline_components", "minhash_candidates",
         "ngram_jaccard", "embedding_near_dup", "ann_cosine", "ann_ivf",
-        "reproject_utm", "metadata_map", "line_dedup",
+        "reproject_utm", "metadata_map",
         "dedup_canonical", "lm_score", "decontaminate", "vocab_topk",
-        "pack_sequences", "source_cap", "sessionize",
-        "stratified_sample", "pii_scrub", "chunk_tokens",
+        "pack_sequences", "sessionize",
+        "stratified_sample", "chunk_tokens",
         "repetition_signals", "text_quality",
+        # round-5c rotation: three NEW operators (curve-order index,
+        # datum transform, register sketch) in for pii_scrub /
+        # line_dedup / source_cap, whose families keep 5+, 5 and 2
+        # prefix representatives respectively
+        "hilbert_cells", "datum_shift", "hll_distinct",
     }
     missing = must_be_checked - prefix
     assert not missing, f"rotated out of the driver-checked 50: {missing}"

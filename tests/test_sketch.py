@@ -71,3 +71,47 @@ def test_cms_overestimates_never_under(spark, sf_dir):
     # a generous width removes collisions entirely: estimates exact
     wide = sketch.cms_token_counts(docs, width=1 << 20).collect()
     assert all(r["cms_count"] == r["exact_count"] for r in wide)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (explicit-register, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def test_hll_matches_duckdb_grouped(spark, sf_dir):
+    from geotiff_processor_spark.operators.sketch import (
+        hll_distinct, sql_hll_distinct)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM"
+            f" '{sf_dir}/events.parquet'")
+    sc, sr = spark_norm(hll_distinct(
+        ev, "cast(user_id as string)", ["event_type"]))
+    dc, dr = duck_norm(con, sql_hll_distinct(
+        "cast(user_id as varchar)", "events", ["event_type"]))
+    assert sc == dc and sr == dr
+    assert len(sr) > 0
+
+
+def test_hll_estimator_quality(spark):
+    """m=64 registers => ~13% standard error; assert within ~3 sigma
+    for a mid-size cardinality well past the linear-counting range."""
+    from geotiff_processor_spark.operators.sketch import hll_distinct
+    rows = [(i, f"u{i % 4999}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "i bigint, u string")
+    out = hll_distinct(df, "u").collect()
+    assert len(out) == 1
+    est = out[0]["est_distinct"]
+    assert abs(est - 4999) / 4999 < 0.40
+    assert out[0]["n_registers"] == 64
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Below ~2.5m the raw harmonic estimate is biased; the
+    linear-counting branch (m * ln(m / empty)) must kick in and land
+    near the exact count."""
+    from geotiff_processor_spark.operators.sketch import hll_distinct
+    df = spark.createDataFrame(
+        [(i, f"v{i % 30}") for i in range(900)], "i bigint, u string")
+    o = hll_distinct(df, "u").collect()[0]
+    assert o["n_registers"] < 64  # genuinely in the small-range regime
+    assert abs(o["est_distinct"] - 30) < 12
