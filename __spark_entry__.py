@@ -1779,6 +1779,22 @@ def q_hll_distinct(spark, sf_dir):
         events, "cast(user_id as string)", ["event_type"])
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES, operators/corpus.py): per-source top-10 documents by the
+    md5-uniform log-domain order key ln(u)/w with w = n_chars/500 —
+    the quality-weighted subsampling step a training-mix build runs
+    (complement of source_cap's hard quota and stratified_sample's
+    unweighted rates). Salted two-phase top-k, so no hot source is
+    ever fully sorted; text never shuffles."""
+    from geotiff_processor_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.weighted_sample(
+        docs, "(cast(n_chars as double) / cast(500 as double))",
+        k=10, group_cols=["source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate evaluates
     # the first 50 entries. Queries whose oracle rule is identical to an
@@ -1869,8 +1885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # chunk_tokens + repetition_signals + decontaminate + lm_score +
     # stratified_sample), line_dedup (dedup keeps minhash_candidates +
     # ngram_jaccard + dedup_canonical + substr_dedup + streaming_dedup),
-    # source_cap (corpus keeps pack_sequences + vocab_topk); all three
-    # stay in DIFFCHECK + pytest at the tail head.
+    # source_cap (corpus keeps pack_sequences + vocab_topk); plus
+    # weighted_sample (A-ES quality-weighted subsampling — a fourth
+    # genuinely-new rule) for lm_score (textprep keeps decontaminate,
+    # the same broadcast-gram-table shape, plus chunk_tokens /
+    # repetition_signals / stratified_sample); all four rotated-out
+    # rows stay in DIFFCHECK + pytest at the tail head.
     return {
         "pip_count": q_pip_count,
         "knn": q_knn,
@@ -1902,7 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
-        "lm_score": q_lm_score,
+        "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
         "datum_shift": q_datum_shift,
         "sessionize": q_sessionize,
@@ -1928,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "source_cap": q_source_cap,
+        "lm_score": q_lm_score,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "reproject_lcc": q_reproject_lcc,
@@ -2299,6 +2320,10 @@ GROUP BY w.doc_id"""
     from geotiff_processor_spark.operators.sketch import sql_hll_distinct
     sql["hll_distinct"] = sql_hll_distinct(
         "cast(user_id as varchar)", "events", ["event_type"])
+    from geotiff_processor_spark.operators.corpus import sql_weighted_sample
+    sql["weighted_sample"] = sql_weighted_sample(
+        "documents", "(cast(n_chars as double) / cast(500 as double))",
+        10, ["source"])
     from geotiff_processor_spark.functions import datum as _D
     _dchain = _D.sql_datum_chain("SELECT url, lat_src, lon_src FROM s0")
     sql["datum_shift"] = f"""WITH p0 AS (SELECT event_id AS i FROM events),

@@ -51,7 +51,7 @@ HEADLINE = [
     "udtf_fields", "edit_distance", "grouped_median", "pivot_counts",
     "range_frame", "ntile_buckets", "dispersion_stats",
     "snapshot_diff", "cms_counts",
-    "hilbert_cells", "datum_shift", "hll_distinct",
+    "hilbert_cells", "datum_shift", "hll_distinct", "weighted_sample",
 ]
 # bpe_merges, bpe_apply, flagship_stream and stream_sessions are
 # deliberately NOT in the headline: their wall time is fixed-cost

@@ -170,3 +170,86 @@ def source_mix_weights(docs: DataFrame, alpha: float = MIX_ALPHA,
                     / F.col("n_tokens").cast("double"), 6).alias("epochs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+def sql_es_key(weight_expr: str, key_col: str = "doc_id",
+               salt: str = "ws1", dialect: str = "spark") -> str:
+    """The A-ES order key in log domain: ln(u) / w, u = md5-uniform in
+    (0, 1]. Taking the per-group top-k by this key samples WITHOUT
+    replacement with inclusion probability proportional to weight
+    (Efraimidis & Spirakis 2006, public literature) — and because u is
+    an explicit md5-derived uniform, the sample is a PURE FUNCTION of
+    the data: reproducible across runs, engines and corpus
+    repartitioning (no rand()).
+
+    Log domain (not u^(1/w)) keeps the key's absolute spread wide at
+    any weight scale, so the 6-digit rounding that absorbs last-ulp
+    libm differences between engines costs no real resolution; exact
+    rounded ties (measure-zero apart from that rounding) are broken by
+    key order downstream. Weights must be > 0.
+    """
+    h = sql_hash60(f"concat('{salt}:', cast({key_col} as string))"
+                   if dialect == "spark" else
+                   f"concat('{salt}:', cast({key_col} as varchar))",
+                   dialect=dialect)
+    u = f"(cast({h} as double) + 1.0) / {float(2 ** 60)!r}"
+    return f"round(ln({u}) / ({weight_expr}), 6)"
+
+
+def weighted_sample(docs: DataFrame, weight_expr: str, k: int,
+                    group_cols: list[str] | None = None,
+                    key_col: str = "doc_id",
+                    n_salts: int = 8) -> DataFrame:
+    """Per-group weighted sample of k documents (A-ES top-k).
+
+    Returns (group_cols..., key_col, es_key double, sample_rank int).
+
+    Scale shape: the same salted TWO-PHASE top-k as kmv_distinct — a
+    per-(group, salt) local top-k bounds every window sort to
+    ~k x group/(salts) rows, then a global top-k over <= k x n_salts
+    candidates per group; provably equal to the direct per-group
+    top-k, without ever sorting a whole hot group. Only (group, key,
+    es_key) shuffle — document text never moves.
+    """
+    groups = list(group_cols or [])
+    keyed = docs.select(
+        *groups, key_col,
+        F.expr(sql_es_key(weight_expr, key_col)).alias("es_key"))
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts)).cast("int")
+    w_local = Window.partitionBy(*groups, "salt") \
+        .orderBy(F.desc("es_key"), key_col)
+    local = (keyed.withColumn("salt", salt)
+             .withColumn("rn", F.row_number().over(w_local))
+             .filter(F.col("rn") <= k).drop("rn", "salt"))
+    w_glob = Window.partitionBy(*groups) \
+        .orderBy(F.desc("es_key"), key_col)
+    return (local.withColumn("sample_rank",
+                             F.row_number().over(w_glob))
+            .filter(F.col("sample_rank") <= k))
+
+
+def sql_weighted_sample(table: str, weight_expr: str, k: int,
+                        group_cols: list[str] | None = None,
+                        key_col: str = "doc_id") -> str:
+    """Identical sample as DuckDB SQL (single-phase window — the
+    salted two-phase is exactly equal by construction)."""
+    groups = list(group_cols or [])
+    gsel = ", ".join(groups) + (", " if groups else "")
+    part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    es = sql_es_key(weight_expr, key_col, dialect="duckdb")
+    return f"""
+WITH keyed AS (
+  SELECT {gsel}{key_col}, {es} AS es_key FROM {table}
+)
+SELECT {gsel}{key_col}, es_key,
+       cast(rn as int) AS sample_rank
+FROM (
+  SELECT *, row_number() OVER (
+      {part} ORDER BY es_key DESC, {key_col}) AS rn
+  FROM keyed
+) WHERE rn <= {k}
+"""

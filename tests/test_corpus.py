@@ -143,3 +143,71 @@ def test_source_mix_weights_single_shuffle_plus_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Sort " not in plan.replace("SortAggregate", "")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_duckdb(spark, sf_dir):
+    import duckdb
+    from geotiff_processor_spark.operators.corpus import (
+        sql_weighted_sample, weighted_sample)
+    from geotiff_processor_spark.testing import duck_norm, spark_norm
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = "(cast(n_chars as double) / cast(500 as double))"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM"
+            f" '{sf_dir}/documents.parquet'")
+    sc, sr = spark_norm(weighted_sample(docs, w, 10, ["source"]))
+    dc, dr = duck_norm(con, sql_weighted_sample(
+        "documents", w, 10, ["source"]))
+    assert sc == dc and sr == dr and len(sr) > 0
+
+
+def test_weighted_sample_two_phase_equals_direct(spark):
+    """The salted local top-k then global top-k must select EXACTLY
+    the direct per-group top-k (every global winner is in its salt
+    bucket's local top-k)."""
+    from pyspark.sql import Window
+    from geotiff_processor_spark.operators.corpus import (
+        sql_es_key, weighted_sample)
+    rows = [(i, f"s{i % 3}", 1.0 + (i % 7)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
+    got = weighted_sample(df, "w", 15, ["source"]).select(
+        "source", "doc_id", "sample_rank")
+    keyed = df.selectExpr("source", "doc_id",
+                          f"{sql_es_key('w')} AS es_key")
+    wspec = Window.partitionBy("source").orderBy(
+        F.desc("es_key"), "doc_id")
+    direct = (keyed.withColumn("sample_rank",
+                               F.row_number().over(wspec))
+              .filter("sample_rank <= 15")
+              .select("source", "doc_id", "sample_rank"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Inclusion probability must track weight: with half the corpus
+    at weight 9 and half at weight 1, a k=200-of-2000 sample should be
+    dominated by the heavy class (expected ~90%)."""
+    from geotiff_processor_spark.operators.corpus import weighted_sample
+    rows = [(i, "all", 9.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
+    out = weighted_sample(df, "w", 200, ["source"]).collect()
+    heavy = sum(1 for r in out if r["doc_id"] % 2 == 0)
+    assert len(out) == 200
+    assert heavy > 150  # ~180 expected; far above the unweighted 100
+
+
+def test_weighted_sample_stable_under_repartition(spark):
+    """No rand(), no partition-order dependence: the sample is a pure
+    function of the data."""
+    from geotiff_processor_spark.operators.corpus import weighted_sample
+    rows = [(i, f"s{i % 4}", 1.0 + (i % 5)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
+    a = sorted(map(tuple, weighted_sample(df, "w", 8, ["source"]).collect()))
+    b = sorted(map(tuple, weighted_sample(
+        df.repartition(17, "doc_id"), "w", 8, ["source"]).collect()))
+    assert a == b

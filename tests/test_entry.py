@@ -72,7 +72,7 @@ def test_driver_checked_prefix_covers_distinct_operators():
         "outline_components", "minhash_candidates",
         "ngram_jaccard", "embedding_near_dup", "ann_cosine", "ann_ivf",
         "reproject_utm", "metadata_map",
-        "dedup_canonical", "lm_score", "decontaminate", "vocab_topk",
+        "dedup_canonical", "decontaminate", "vocab_topk",
         "pack_sequences", "sessionize",
         "stratified_sample", "chunk_tokens",
         "repetition_signals", "text_quality",
@@ -81,6 +81,9 @@ def test_driver_checked_prefix_covers_distinct_operators():
         # line_dedup / source_cap, whose families keep 5+, 5 and 2
         # prefix representatives respectively
         "hilbert_cells", "datum_shift", "hll_distinct",
+        # plus weighted_sample (A-ES) for lm_score (textprep keeps
+        # decontaminate — the same broadcast-gram shape — and three more)
+        "weighted_sample",
     }
     missing = must_be_checked - prefix
     assert not missing, f"rotated out of the driver-checked 50: {missing}"
