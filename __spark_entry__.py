@@ -1779,6 +1779,31 @@ def q_hll_distinct(spark, sf_dir):
         events, "cast(user_id as string)", ["event_type"])
 
 
+def q_hilbert_bbox_scan(spark, sf_dir):
+    """Hilbert range-pruned bbox scan — the payoff of curve order: a
+    32x32-cell bbox (NOT quadrant-aligned) covers 1024 cells but only
+    13 CONTIGUOUS d-ranges (functions/hilbert.bbox_ranges, computed at
+    plan time like kNN query sets / IVF centroids), so on a
+    hilbert-sorted table the scan is 13 min/max row-group prunes — vs
+    O(hundreds) of scattered runs under Z-order. The filter is the
+    literal OR-of-BETWEEN predicate; the oracle inlines the SAME
+    plan-time ranges, so the hash match checks the whole
+    plan-and-prune chain. Per surviving cell: page count (equivalence
+    to the direct bbox predicate is pinned in tests/test_hilbert.py)."""
+    from geotiff_processor_spark.functions import geo
+    from geotiff_processor_spark.functions import hilbert as H
+
+    ranges = H.bbox_ranges(100, 131, 60, 91, level=8)
+    g = _geocoded(spark, sf_dir).select(
+        "url",
+        F.expr(geo.sql_cell_xq("lonm", 8)).alias("xq"),
+        F.expr(geo.sql_cell_yq("latm", 8)).alias("yq"))
+    hd = H.with_hilbert(g, "xq", "yq", level=8)
+    return (H.filter_by_ranges(hd, ranges)
+            .groupBy("hilbert_d")
+            .agg(F.count(F.lit(1)).alias("n_pages")))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis-Spirakis
     A-ES, operators/corpus.py): per-source top-10 documents by the
@@ -1949,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "source_cap": q_source_cap,
         "lm_score": q_lm_score,
+        "hilbert_bbox_scan": q_hilbert_bbox_scan,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "reproject_lcc": q_reproject_lcc,
@@ -2346,6 +2372,17 @@ SELECT cast(floor(hilbert_d / 64) as bigint) AS block,
        count(DISTINCT hilbert_d) AS n_cells,
        min(hilbert_d) AS d_min, max(hilbert_d) AS d_max
 FROM ({_hchain}) GROUP BY 1""")
+    _branges = _H.bbox_ranges(100, 131, 60, 91, level=8)
+    # MATERIALIZED: DuckDB would otherwise inline the 25-projection
+    # chain into all 26 BETWEEN comparisons (the same multiplicative
+    # substitution blowup the Spark side avoids with the broadcast
+    # range join) and stall its optimizer
+    sql["hilbert_bbox_scan"] = _with_geo(
+        f"hil AS MATERIALIZED ({_hchain})", f"""
+SELECT hilbert_d, count(*) AS n_pages
+FROM hil
+WHERE {_H.sql_ranges_pred(_branges)}
+GROUP BY 1""")
     from geotiff_processor_spark.operators.textprep import sql_winnow
     sql["winnow"] = sql_winnow()
     from geotiff_processor_spark.functions.text import sql_extract_text

@@ -52,6 +52,7 @@ HEADLINE = [
     "range_frame", "ntile_buckets", "dispersion_stats",
     "snapshot_diff", "cms_counts",
     "hilbert_cells", "datum_shift", "hll_distinct", "weighted_sample",
+    "hilbert_bbox_scan",
 ]
 # bpe_merges, bpe_apply, flagship_stream and stream_sessions are
 # deliberately NOT in the headline: their wall time is fixed-cost

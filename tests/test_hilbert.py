@@ -80,3 +80,33 @@ def test_block_span_bound(spark):
              .agg((F.max("hilbert_d") - F.min("hilbert_d")).alias("s"),
                   F.count("*").alias("n")).collect())
     assert all(r["s"] == 63 and r["n"] == 64 for r in spans)
+
+
+def test_bbox_ranges_exact_cover_and_pruning():
+    from geotiff_processor_spark.functions.hilbert import bbox_ranges
+    # aligned quadrant: exactly ONE contiguous range
+    r = bbox_ranges(64, 127, 128, 191, 8)
+    assert len(r) == 1 and r[0][1] - r[0][0] == 64 * 64 - 1
+    # unaligned 32x32: exact cover, far fewer ranges than cells
+    r2 = bbox_ranges(100, 131, 60, 91, 8)
+    assert sum(hi - lo + 1 for lo, hi in r2) == 1024
+    assert len(r2) <= 16
+    # disjoint + sorted
+    assert all(a[1] < b[0] for a, b in zip(r2, r2[1:]))
+
+
+def test_ranges_pred_equals_direct_bbox(spark):
+    """The OR-of-BETWEEN range predicate must select EXACTLY the rows
+    the direct xq/yq bbox predicate selects — the cover is exact, not
+    approximate."""
+    from geotiff_processor_spark.functions.hilbert import (
+        bbox_ranges, filter_by_ranges, with_hilbert)
+    df = spark.range(20000).selectExpr(
+        "id AS rid", "cast(id % 256 as bigint) AS xq",
+        "cast((id * 7919) % 256 as bigint) AS yq")
+    hd = with_hilbert(df, "xq", "yq", level=8)
+    pruned = filter_by_ranges(hd, bbox_ranges(100, 131, 60, 91, 8))
+    via_ranges = {r["rid"] for r in pruned.collect()}
+    direct = {r["rid"] for r in df.filter(
+        "xq BETWEEN 100 AND 131 AND yq BETWEEN 60 AND 91").collect()}
+    assert via_ranges == direct and len(direct) > 0
