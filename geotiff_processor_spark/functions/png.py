@@ -230,19 +230,48 @@ def _unfilter(raw: bytes, h: int, w: int, nc: int) -> np.ndarray:
         elif f == 2:  # Up
             rec = (cur + prev) % 256
         elif f in (3, 4):  # Average / Paeth: sequential in x
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - nc] if x >= nc else 0
-                b = prev[x]
-                if f == 3:
-                    rec[x] = (cur[x] + (a + b) // 2) % 256
-                else:
-                    c = prev[x - nc] if x >= nc else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c)
-                    rec[x] = (cur[x] + pred) % 256
+            # The x-recurrence can't vectorize, so run it over plain
+            # Python lists (an order of magnitude faster than per-
+            # element numpy indexing). The first nc samples have
+            # a = c = 0, which collapses the predictor to b (Paeth:
+            # pa=|b|, pb=0, pc=|b| so b wins unless b==0, where a==b)
+            # and to b>>1 (Average) — split them off so the hot loop
+            # is branch-free on x. Paeth distances use the identities
+            # |p-a|=|b-c|, |p-b|=|a-c|, |p-c|=|a+b-2c|.
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
+            head = min(nc, stride)
+            if f == 3:
+                for x in range(head):
+                    rec_l[x] = (cur_l[x] + (prev_l[x] >> 1)) & 255
+                for x in range(head, stride):
+                    rec_l[x] = (cur_l[x]
+                                + ((rec_l[x - nc] + prev_l[x]) >> 1)) & 255
+            else:
+                for x in range(head):
+                    rec_l[x] = (cur_l[x] + prev_l[x]) & 255
+                for x in range(head, stride):
+                    a = rec_l[x - nc]
+                    b = prev_l[x]
+                    c = prev_l[x - nc]
+                    pa = b - c
+                    if pa < 0:
+                        pa = -pa
+                    pb = a - c
+                    if pb < 0:
+                        pb = -pb
+                    pc = a + b - 2 * c
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rec_l[x] = (cur_l[x] + pred) & 255
+            rec = np.asarray(rec_l, np.int32)
         else:
             raise ValueError(f"unknown scanline filter {f}")
         out[y] = rec.astype(np.uint8)
