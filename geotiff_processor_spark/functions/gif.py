@@ -149,8 +149,9 @@ def decode_gif(data: bytes) -> np.ndarray:
             # single-frame contract: the first image block IS the
             # picture (left/top offsets compose multi-frame GIFs only)
             del left, top, w, he
-            idx = np.asarray(_lzw_decode(bytes(lzw), min_code, iw * ih),
-                             np.int32)
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), min_code, iw * ih),
+                np.uint8).astype(np.int32)
             if idx.size and int(idx.max()) >= len(gct):
                 raise ValueError("corrupt LZW stream: palette index "
                                  "beyond color table")
@@ -167,18 +168,29 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("no image block")
 
 
-def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
-    """Standard GIF LZW: variable code width, CLEAR resets the table."""
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytes:
+    """Standard GIF LZW: variable code width, CLEAR resets the table.
+
+    The per-code loop is the one recurrence Python must run itself;
+    it is kept allocation-lean: output accumulates in a bytearray
+    (C-level memcpy per entry, O(1) amortized), the table length is
+    tracked in a local instead of len() per code, and the next width
+    bump threshold is precomputed so the hot path is integer compares
+    only. Returns the decoded index stream as bytes (every GIF palette
+    index fits a byte: max code size is 8 bits)."""
     clear, end = 1 << min_code, (1 << min_code) + 1
-    out: list[int] = []
+    out = bytearray()
     table: list[bytes] = []
 
     def reset():
-        nonlocal table, width
+        nonlocal table, width, tlen, grow_at
         table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
         width = min_code + 1
+        tlen = len(table)
+        grow_at = 1 << width
 
     width = min_code + 1
+    tlen = grow_at = 0
     reset()
     acc = nbits = 0
     prev: bytes | None = None
@@ -194,23 +206,26 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
                 prev = None
                 continue
             if code == end:
-                return out
+                return bytes(out)
             if prev is None:
-                if code >= len(table):
+                if code >= tlen:
                     raise ValueError("corrupt LZW stream")
                 entry = table[code]
-            elif code < len(table):
+            elif code < tlen:
                 entry = table[code]
                 table.append(prev + entry[:1])
-            elif code == len(table):
+                tlen += 1
+            elif code == tlen:
                 entry = prev + prev[:1]
                 table.append(entry)
+                tlen += 1
             else:
                 raise ValueError("corrupt LZW stream")
-            out.extend(entry)
+            out += entry
             prev = entry
-            if len(table) == (1 << width) and width < 12:
+            if tlen == grow_at and width < 12:
                 width += 1
+                grow_at = 1 << width
             if len(out) >= n_expected:
-                return out
-    return out
+                return bytes(out)
+    return bytes(out)
