@@ -186,7 +186,10 @@ def _peek_lut(bits: list[int], vals: list[int]
         lo = code << (16 - ln)
         sym_l[lo:lo + (1 << (16 - ln))] = sym
         len_l[lo:lo + (1 << (16 - ln))] = ln
-    _LUT_CACHE[key] = (sym_l, len_l)
+    # plain lists: the decode loop indexes these once or twice per
+    # huffman symbol, and list indexing returns ready Python ints
+    # (numpy scalar indexing pays an allocation + int() per lookup)
+    _LUT_CACHE[key] = (sym_l.tolist(), len_l.tolist())
     return _LUT_CACHE[key]
 
 
@@ -284,15 +287,15 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def read_symbol(self, lut: tuple[np.ndarray, np.ndarray]) -> int:
+    def read_symbol(self, lut: tuple[list[int], list[int]]) -> int:
         while self.nbits < 16 and not self.ended:
             self._fill()
         if self.nbits >= 16:
             peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
         else:
             peek = (self.acc << (16 - self.nbits)) & 0xFFFF
-        sym = int(lut[0][peek])
-        ln = int(lut[1][peek])
+        sym = lut[0][peek]
+        ln = lut[1][peek]
         if sym < 0 or ln > self.nbits:
             raise ValueError("invalid huffman code in entropy data")
         self.nbits -= ln
@@ -802,33 +805,135 @@ def _baseline_scan(reader: "_BitReader", store, grids, samps, scan_map,
     tabs = [(htables[(0, dct)], htables[(1, act)])
             for dct, act in scan_map]
     pred = [0] * nc
-    read_symbol = reader.read_symbol
-    read_bits = reader.read_bits
     mcu_i = 0
     rst = 0
+    # The baseline scan decodes a few huffman symbols + magnitude-bit
+    # reads PER COEFFICIENT — at that call density Python method
+    # dispatch on _BitReader dominates, so the reader's word-buffer
+    # state (pos/acc/nbits/ended) lives in locals here and is synced
+    # back to the reader object only at restart boundaries and on
+    # return (the caller's marker loop resumes from reader.pos). The
+    # refill/peek/consume blocks below are the same operations as
+    # _BitReader._fill/read_symbol/read_bits, inlined; error messages
+    # are kept identical. Progressive scans keep the method-call form —
+    # they decode far fewer symbols per scan.
+    data = reader.data
+    n = len(data)
+    pos, acc, nbits, ended = reader.pos, reader.acc, reader.nbits, \
+        reader.ended
     for my in range(mcuy):
         for mx in range(mcux):
             if (restart_interval and mcu_i
                     and mcu_i % restart_interval == 0):
+                reader.pos, reader.acc, reader.nbits, reader.ended = \
+                    pos, acc, nbits, ended
                 reader.restart(rst)
+                pos, acc, nbits, ended = reader.pos, reader.acc, \
+                    reader.nbits, reader.ended
                 rst += 1
                 pred = [0] * nc
             mcu_i += 1
             for ci in range(nc):
                 hi, vi = samps[ci]
-                dc_tab, ac_tab = tabs[ci]
+                dc_sym, dc_len = tabs[ci][0]
+                ac_sym, ac_len = tabs[ci][1]
                 gw = grids[ci][1]
                 for byi in range(vi):
                     for bxi in range(hi):
                         b = (my * vi + byi) * gw + (mx * hi + bxi)
-                        t = read_symbol(dc_tab)
-                        diff = _extend(read_bits(t), t)
-                        pred[ci] += diff
+                        # DC symbol (magnitude category t)
+                        while nbits < 16 and not ended:
+                            if pos >= n:
+                                raise ValueError(
+                                    "truncated entropy stream")
+                            byte = data[pos]
+                            if byte == 0xFF:
+                                if pos + 1 >= n:
+                                    raise ValueError(
+                                        "truncated entropy stream")
+                                if data[pos + 1] == 0x00:
+                                    pos += 2
+                                else:
+                                    ended = True
+                                    continue
+                            else:
+                                pos += 1
+                            acc = (acc << 8) | byte
+                            nbits += 8
+                        if nbits >= 16:
+                            peek = (acc >> (nbits - 16)) & 0xFFFF
+                        else:
+                            peek = (acc << (16 - nbits)) & 0xFFFF
+                        t = dc_sym[peek]
+                        ln = dc_len[peek]
+                        if t < 0 or ln > nbits:
+                            raise ValueError(
+                                "invalid huffman code in entropy data")
+                        nbits -= ln
+                        acc &= (1 << nbits) - 1
+                        # DC magnitude bits -> EXTEND -> DPCM
+                        if t:
+                            while nbits < t and not ended:
+                                if pos >= n:
+                                    raise ValueError(
+                                        "truncated entropy stream")
+                                byte = data[pos]
+                                if byte == 0xFF:
+                                    if pos + 1 >= n:
+                                        raise ValueError(
+                                            "truncated entropy stream")
+                                    if data[pos + 1] == 0x00:
+                                        pos += 2
+                                    else:
+                                        ended = True
+                                        continue
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | byte
+                                nbits += 8
+                            if nbits < t:
+                                raise ValueError(
+                                    "hit marker inside entropy data")
+                            nbits -= t
+                            bits = (acc >> nbits) & ((1 << t) - 1)
+                            acc &= (1 << nbits) - 1
+                            pred[ci] += (bits if bits >= (1 << (t - 1))
+                                         else bits - (1 << t) + 1)
                         block = [0] * 64
                         block[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = read_symbol(ac_tab)
+                            # AC symbol (run << 4 | size)
+                            while nbits < 16 and not ended:
+                                if pos >= n:
+                                    raise ValueError(
+                                        "truncated entropy stream")
+                                byte = data[pos]
+                                if byte == 0xFF:
+                                    if pos + 1 >= n:
+                                        raise ValueError(
+                                            "truncated entropy stream")
+                                    if data[pos + 1] == 0x00:
+                                        pos += 2
+                                    else:
+                                        ended = True
+                                        continue
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | byte
+                                nbits += 8
+                            if nbits >= 16:
+                                peek = (acc >> (nbits - 16)) & 0xFFFF
+                            else:
+                                peek = (acc << (16 - nbits)) & 0xFFFF
+                            rs = ac_sym[peek]
+                            ln = ac_len[peek]
+                            if rs < 0 or ln > nbits:
+                                raise ValueError(
+                                    "invalid huffman code in entropy"
+                                    " data")
+                            nbits -= ln
+                            acc &= (1 << nbits) - 1
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
@@ -838,9 +943,41 @@ def _baseline_scan(reader: "_BitReader", store, grids, samps, scan_map,
                             s = rs & 0xF
                             if k > 63:
                                 raise ValueError("AC index overflow")
-                            block[k] = _extend(read_bits(s), s)
+                            # AC magnitude bits -> EXTEND
+                            if s:
+                                while nbits < s and not ended:
+                                    if pos >= n:
+                                        raise ValueError(
+                                            "truncated entropy stream")
+                                    byte = data[pos]
+                                    if byte == 0xFF:
+                                        if pos + 1 >= n:
+                                            raise ValueError(
+                                                "truncated entropy"
+                                                " stream")
+                                        if data[pos + 1] == 0x00:
+                                            pos += 2
+                                        else:
+                                            ended = True
+                                            continue
+                                    else:
+                                        pos += 1
+                                    acc = (acc << 8) | byte
+                                    nbits += 8
+                                if nbits < s:
+                                    raise ValueError(
+                                        "hit marker inside entropy"
+                                        " data")
+                                nbits -= s
+                                bits = (acc >> nbits) & ((1 << s) - 1)
+                                acc &= (1 << nbits) - 1
+                                block[k] = (
+                                    bits if bits >= (1 << (s - 1))
+                                    else bits - (1 << s) + 1)
                             k += 1
                         store[ci][b] = block
+    reader.pos, reader.acc, reader.nbits, reader.ended = \
+        pos, acc, nbits, ended
 
 
 def _prog_dc_scan(reader: "_BitReader", scan_cis, scan_tids, htables,
