@@ -241,25 +241,35 @@ class _BitReader:
         self.ended = False
 
     def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated entropy stream")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(self.data):
+        """Buffer bytes until >= 32 bits are available (or the entropy
+        segment ends) — batched past the 16-bit peek window so several
+        symbol/magnitude reads run off one refill (acc stays a machine
+        word: <= 39 bits mid-append), and callers' refill loops run
+        once per few symbols, not once per byte."""
+        data, pos, n = self.data, self.pos, len(self.data)
+        acc, nbits = self.acc, self.nbits
+        while nbits < 32:
+            if pos >= n:
+                self.pos, self.acc, self.nbits = pos, acc, nbits
                 raise ValueError("truncated entropy stream")
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= n:
+                    self.pos, self.acc, self.nbits = pos, acc, nbits
+                    raise ValueError("truncated entropy stream")
+                if data[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    # any real marker (RSTn included) ends the entropy
+                    # segment; RSTn is consumed by restart(), others by
+                    # the caller's marker loop
+                    self.ended = True
+                    break
             else:
-                # any real marker (RSTn included) ends the entropy
-                # segment; RSTn is consumed by restart(), others by
-                # the caller's marker loop
-                self.ended = True
-                return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        self.pos, self.acc, self.nbits = pos, acc, nbits
 
     def restart(self, expect: int) -> None:
         """Consume the RSTn marker at a restart boundary: discard the
@@ -275,31 +285,45 @@ class _BitReader:
         self.ended = False
 
     def read_bits(self, n: int) -> int:
+        # fast path: enough buffered bits (the common case — refinement
+        # passes read ONE bit per nonzero coefficient, so this method's
+        # constant factor is the progressive decoder's hot spot)
+        nb = self.nbits
+        if nb >= n:
+            nb -= n
+            v = (self.acc >> nb) & ((1 << n) - 1)
+            # trim consumed bits so acc stays a machine-word int (an
+            # unmasked acc grows by 8 bits per byte and every shift
+            # then pays bigint cost proportional to the stream so far)
+            self.acc &= (1 << nb) - 1
+            self.nbits = nb
+            return v
         while self.nbits < n and not self.ended:
             self._fill()
         if self.nbits < n:
             raise ValueError("hit marker inside entropy data")
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        # trim consumed bits so acc stays a machine-word int (an
-        # unmasked acc grows by 8 bits per byte and every shift then
-        # pays bigint cost proportional to the whole stream read so far)
         self.acc &= (1 << self.nbits) - 1
         return v
 
     def read_symbol(self, lut: tuple[list[int], list[int]]) -> int:
-        while self.nbits < 16 and not self.ended:
+        nb = self.nbits
+        if nb < 16 and not self.ended:
             self._fill()
-        if self.nbits >= 16:
-            peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
+            nb = self.nbits
+        acc = self.acc
+        if nb >= 16:
+            peek = (acc >> (nb - 16)) & 0xFFFF
         else:
-            peek = (self.acc << (16 - self.nbits)) & 0xFFFF
+            peek = (acc << (16 - nb)) & 0xFFFF
         sym = lut[0][peek]
         ln = lut[1][peek]
-        if sym < 0 or ln > self.nbits:
+        if sym < 0 or ln > nb:
             raise ValueError("invalid huffman code in entropy data")
-        self.nbits -= ln
-        self.acc &= (1 << self.nbits) - 1
+        nb -= ln
+        self.acc = acc & ((1 << nb) - 1)
+        self.nbits = nb
         return sym
 
 
@@ -1056,28 +1080,70 @@ def _prog_ac_scan(reader: "_BitReader", ac_tab, blocks, ss, se, ah, al,
 
 
 def _ac_first_block(reader, ac_tab, row, ss, se, al, eobrun) -> int:
-    """First AC pass for one block; returns the remaining EOB run."""
+    """First AC pass for one block; returns the remaining EOB run.
+
+    Hot path: the reader's word-buffer state lives in locals; only a
+    buffer underrun syncs back and delegates to the (tested) reader
+    methods for the refill — see _ac_refine_block for the pattern's
+    rationale."""
     if eobrun:
         return eobrun - 1
-    read_symbol = reader.read_symbol
-    read_bits = reader.read_bits
+    sym_l, len_l = ac_tab
+    pos, acc, nbits = reader.pos, reader.acc, reader.nbits
     k = ss
+    out = 0
     while k <= se:
-        rs = read_symbol(ac_tab)
+        if nbits >= 16:
+            peek = (acc >> (nbits - 16)) & 0xFFFF
+            rs = sym_l[peek]
+            ln = len_l[peek]
+            if rs < 0:
+                reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+                raise ValueError("invalid huffman code in entropy data")
+            nbits -= ln
+            acc &= (1 << nbits) - 1
+        else:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+            rs = reader.read_symbol(ac_tab)
+            pos, acc, nbits = reader.pos, reader.acc, reader.nbits
         r, s = rs >> 4, rs & 0xF
         if s == 0:
             if r == 15:  # ZRL: 16 zeros
                 k += 16
                 continue
             # EOBn: run of (1 << r) + bits blocks ending at this one
-            eobrun = (1 << r) + (read_bits(r) if r else 0)
-            return eobrun - 1
+            if r:
+                if nbits >= r:
+                    nbits -= r
+                    bits = (acc >> nbits) & ((1 << r) - 1)
+                    acc &= (1 << nbits) - 1
+                else:
+                    reader.pos, reader.acc, reader.nbits = \
+                        pos, acc, nbits
+                    bits = reader.read_bits(r)
+                    pos, acc, nbits = reader.pos, reader.acc, \
+                        reader.nbits
+            else:
+                bits = 0
+            out = (1 << r) + bits - 1
+            break
         k += r
         if k > se:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
             raise ValueError("AC index overflow")
-        row[k] = _extend(read_bits(s), s) << al
+        if nbits >= s:
+            nbits -= s
+            bits = (acc >> nbits) & ((1 << s) - 1)
+            acc &= (1 << nbits) - 1
+        else:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+            bits = reader.read_bits(s)
+            pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+        row[k] = (bits if bits >= (1 << (s - 1))
+                  else bits - (1 << s) + 1) << al
         k += 1
-    return 0
+    reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+    return out
 
 
 def _ac_refine_block(reader, ac_tab, row, ss, se, al, eobrun) -> int:
@@ -1086,27 +1152,84 @@ def _ac_refine_block(reader, ac_tab, row, ss, se, al, eobrun) -> int:
     newly-nonzero coefficients arrive as +-1<<Al; every already-nonzero
     coefficient crossed consumes a correction bit. Returns the
     remaining EOB run."""
-    read_bits = reader.read_bits
+    # Same locals-inlined bit reading as _ac_first_block: refinement
+    # consumes ONE bit per nonzero coefficient crossed, so Python call
+    # + attribute overhead per bit is this scan's dominant cost. The
+    # fast paths below require buffered bits and fall back to the
+    # reader methods (syncing state both ways) only on underrun —
+    # at most once per 16 bits, and all marker/truncation handling
+    # stays in the one tested implementation.
+    sym_l, len_l = ac_tab
+    pos, acc, nbits = reader.pos, reader.acc, reader.nbits
     p1, m1 = 1 << al, -(1 << al)
     k = ss
     if eobrun == 0:
         while k <= se:
-            rs = reader.read_symbol(ac_tab)
+            if nbits >= 16:
+                peek = (acc >> (nbits - 16)) & 0xFFFF
+                rs = sym_l[peek]
+                ln = len_l[peek]
+                if rs < 0:
+                    reader.pos, reader.acc, reader.nbits = \
+                        pos, acc, nbits
+                    raise ValueError(
+                        "invalid huffman code in entropy data")
+                nbits -= ln
+                acc &= (1 << nbits) - 1
+            else:
+                reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+                rs = reader.read_symbol(ac_tab)
+                pos, acc, nbits = reader.pos, reader.acc, reader.nbits
             r, s = rs >> 4, rs & 0xF
             val = 0
             if s == 0:
                 if r != 15:
-                    eobrun = (1 << r) + (read_bits(r) if r else 0)
+                    if r:
+                        if nbits >= r:
+                            nbits -= r
+                            bits = (acc >> nbits) & ((1 << r) - 1)
+                            acc &= (1 << nbits) - 1
+                        else:
+                            reader.pos, reader.acc, reader.nbits = \
+                                pos, acc, nbits
+                            bits = reader.read_bits(r)
+                            pos, acc, nbits = reader.pos, reader.acc, \
+                                reader.nbits
+                    else:
+                        bits = 0
+                    eobrun = (1 << r) + bits
                     break  # remainder handled by the EOB logic below
                 # r == 15: ZRL — skip 16 zero-history coefficients
             else:
                 if s != 1:
+                    reader.pos, reader.acc, reader.nbits = \
+                        pos, acc, nbits
                     raise ValueError("invalid refinement magnitude")
-                val = p1 if read_bits(1) else m1
+                if nbits:
+                    nbits -= 1
+                    bit = (acc >> nbits) & 1
+                    acc &= (1 << nbits) - 1
+                else:
+                    reader.pos, reader.acc, reader.nbits = \
+                        pos, acc, nbits
+                    bit = reader.read_bits(1)
+                    pos, acc, nbits = reader.pos, reader.acc, \
+                        reader.nbits
+                val = p1 if bit else m1
             while k <= se:
                 c = row[k]
                 if c != 0:
-                    if read_bits(1) and (c & p1) == 0:
+                    if nbits:
+                        nbits -= 1
+                        bit = (acc >> nbits) & 1
+                        acc &= (1 << nbits) - 1
+                    else:
+                        reader.pos, reader.acc, reader.nbits = \
+                            pos, acc, nbits
+                        bit = reader.read_bits(1)
+                        pos, acc, nbits = reader.pos, reader.acc, \
+                            reader.nbits
+                    if bit and (c & p1) == 0:
                         row[k] = c + (p1 if c >= 0 else m1)
                 else:
                     r -= 1
@@ -1115,6 +1238,8 @@ def _ac_refine_block(reader, ac_tab, row, ss, se, al, eobrun) -> int:
                 k += 1
             if val:
                 if k > se:
+                    reader.pos, reader.acc, reader.nbits = \
+                        pos, acc, nbits
                     raise ValueError("refinement position overflow")
                 row[k] = val
             k += 1
@@ -1122,10 +1247,21 @@ def _ac_refine_block(reader, ac_tab, row, ss, se, al, eobrun) -> int:
         while k <= se:
             c = row[k]
             if c != 0:
-                if read_bits(1) and (c & p1) == 0:
+                if nbits:
+                    nbits -= 1
+                    bit = (acc >> nbits) & 1
+                    acc &= (1 << nbits) - 1
+                else:
+                    reader.pos, reader.acc, reader.nbits = \
+                        pos, acc, nbits
+                    bit = reader.read_bits(1)
+                    pos, acc, nbits = reader.pos, reader.acc, \
+                        reader.nbits
+                if bit and (c & p1) == 0:
                     row[k] = c + (p1 if c >= 0 else m1)
             k += 1
         eobrun -= 1
+    reader.pos, reader.acc, reader.nbits = pos, acc, nbits
     return eobrun
 
 
