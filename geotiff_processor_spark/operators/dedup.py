@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from geotiff_processor_spark.operators.par import spread
+
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 SHINGLE_WORDS = 3
@@ -92,19 +94,37 @@ def shingles(docs: DataFrame, text_col: str = "text",
 def minhash_signatures(docs: DataFrame, key_col: str = "doc_id",
                        text_col: str = "text",
                        n_hashes: int = N_MINHASH) -> DataFrame:
-    """(key, mh_0..mh_{n-1}): one min-aggregate per permutation.
+    """(key, mh_0..mh_{n-1}): one array-min per permutation.
 
-    One md5 per shingle -> 31-bit base hash, then n affine integer
-    permutations (sql_minhash_mix). One explode, n partial-agg mins — a
-    single shuffle keyed on the doc, carrying n bigints/doc.
+    One md5 per distinct shingle -> 31-bit base hash, then n affine
+    integer permutations (sql_minhash_mix), each reduced with
+    ``array_min`` INSIDE the document's shingle array — a signature is
+    a pure per-doc function, so no explode and ZERO shuffles (round 6;
+    the previous explode + 16 partial-agg mins paid a doc-keyed
+    exchange whose reduce side AQE coalesced to 2 tasks: 15.8 s at
+    sf1 for ~50 k docs). Values are bit-identical: same md5-derived
+    base hash, same permutations, same min.
     """
-    sh = shingles(docs.select(key_col, text_col), text_col).withColumn(
-        "h31", F.expr(f"({sql_hash60('shingle')}) % {MINHASH_P}"))
-    aggs = [
-        F.min(F.expr(sql_minhash_mix("h31", j))).alias(f"mh_{j}")
-        for j in range(n_hashes)
-    ]
-    return sh.groupBy(key_col).agg(*aggs)
+    # token and hash arrays let-bound as lambda variables so Catalyst
+    # cannot inline the split/shingle build into every one of the 16
+    # permutation mins — see winnow_fingerprints
+    ns = SHINGLE_WORDS
+    hs_of_t = (
+        f"transform(array_distinct("
+        f" transform(sequence(0, greatest(size(t) - {ns}, 0)),"
+        f"  i -> array_join(slice(t, i + 1, {ns}), ' '))),"
+        f" s -> ({sql_hash60('s')}) % {MINHASH_P})")
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> {sql_minhash_mix('h', j)}))"
+        f" as mh_{j}"
+        for j in range(n_hashes))
+    sig = F.expr(
+        f"transform(array(split(_txt, ' ')), t ->"
+        f" transform(array({hs_of_t}), hs -> struct({mins}))[0])[0]")
+    base = spread(docs.select(key_col, F.col(text_col).alias("_txt")))
+    return base.select(key_col, sig.alias("_s")).select(
+        key_col, *[F.col(f"_s.mh_{j}").alias(f"mh_{j}")
+                   for j in range(n_hashes)])
 
 
 def lsh_candidate_pairs(signatures: DataFrame, key_col: str = "doc_id",
@@ -314,59 +334,73 @@ def exact_substr_dedup(docs: DataFrame, key_col: str = "doc_id",
 
     Returns (key, n_grams, dup_grams, dup_frac) per doc.
 
-    Scale shape: gram text never shuffles — each position reduces to a
-    16-byte md5 before the exchange. Three shuffles, all with map-side
-    partial aggregation: (1) per-(digest, doc) occurrence counts —
-    this also bounds boilerplate skew: a gram repeated 10^6 times
-    inside one doc is ONE row after the partial agg; (2) per-digest
-    distinct-doc counts (already (digest, doc)-deduped, so a plain
-    count); (3) occurrences sort-merge-joined back to their digest's
-    doc count (both sides hash-partitioned on the digest, AQE splits
-    skewed web-boilerplate digests) and rolled up per doc. At 10^12
-    docs nothing collects to the driver and no suffix array exists.
+    Scale shape (round 6): gram text never shuffles — each position
+    reduces to a 16-byte binary md5 (``unhex``: half the bytes of the
+    previous hex-string digests, bijectively) INSIDE the document's
+    token array, and the per-(doc, digest) occurrence counts are
+    extracted map-side with an in-array sort + run-length walk, so the
+    first (biggest) exchange of the previous three-shuffle form is gone
+    before anything moves. Two shuffles remain, the irreducible
+    cross-doc ones: (1) a digest-keyed exchange where a whole-partition
+    window count yields each digest's distinct-doc count (the input is
+    already (doc, digest)-unique; the in-array pre-agg also bounds
+    boilerplate skew — a gram repeated 10^6 times inside one doc is ONE
+    row); (2) the per-doc rollup. Docs shorter than k tokens emit one
+    17-byte per-doc sentinel row (md5(doc_id) || 0x00 — a length no
+    real 16-byte digest can collide with) with n_pos = 0, so every doc
+    reaches the rollup without a restore join and no single sentinel
+    value can hot-spot the digest partitioning. At 10^12 docs nothing
+    collects to the driver and no suffix array exists.
     """
-    toks = F.split(F.col(text_col), " ")
-    # guard: sequence(1, 0) DESCENDS in Spark, so short docs must yield
-    # an empty start list, not positions [1, 0]
-    starts = F.when(
-        F.size(toks) >= k,
-        F.sequence(F.lit(1), F.size(toks) - k + 1),
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = docs.select(
-        key_col,
-        F.explode(
-            F.transform(starts, lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i, k))))).alias("gh"))
-    occ = grams.groupBy(key_col, "gh").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pos"))
-    docs_per_gram = occ.groupBy("gh").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # One nested let-bound expression (transform(array(x), v -> ..)[0]
+    # binds each intermediate as a lambda variable — see
+    # winnow_fingerprints for why plain projections get inlined):
+    #   t  = token array          (split once per doc)
+    #   g  = sorted 16-byte gram digests (unhex(md5(..)) once per gram;
+    #        guard: sequence(1, 0) DESCENDS in Spark, so short docs
+    #        take the sentinel branch instead of positions [1, 0])
+    #   h  = run heads of g       (p = 0 or g[p] != g[p-1])
+    #   -> (digest, run length) structs, map-side
+    runs = F.expr(
+        "transform(array(split(_txt, ' ')), t ->"
+        f" case when size(t) >= {k} then"
+        "  transform(array(array_sort(transform("
+        f"    sequence(1, size(t) - {k} + 1),"
+        f"    i -> unhex(md5(array_join(slice(t, i, {k}), ' ')))))), g ->"
+        "   transform(array(filter(sequence(0, size(g) - 1),"
+        "      p -> p = 0 or g[p] != g[p - 1])), h ->"
+        "    transform(sequence(0, size(h) - 1),"
+        "     j -> struct(g[h[j]] as gh,"
+        "      cast(if(j + 1 < size(h), h[j + 1], size(g)) - h[j]"
+        "           as bigint) as n_pos)))[0])[0]"
+        " else array(struct("
+        f"  concat(unhex(md5(cast({key_col} as string))), x'00') as gh,"
+        "   0L as n_pos)) end)[0]")
+    pre = spread(docs.select(key_col, F.col(text_col).alias("_txt")))
+    # explode_outer: a plain explode makes InferFiltersFromGenerate
+    # duplicate the whole array expression into a pushed-down filter;
+    # runs is never empty (sentinel branch), so no null row exists
+    occ = (pre.select(key_col, F.explode_outer(runs).alias("_r"))
+           .select(key_col, F.col("_r.gh").alias("gh"),
+                   F.col("_r.n_pos").alias("n_pos")))
+    # distinct-doc count per digest: input is (doc, digest)-unique, so
+    # a whole-partition window count over ONE digest-keyed exchange
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
     per_doc = (
-        occ.join(docs_per_gram, "gh")
+        occ.withColumn("n_docs", n_docs)
         .groupBy(key_col)
         .agg(
             F.sum("n_pos").cast("bigint").alias("n_grams"),
             F.sum(F.when(F.col("n_docs") >= 2, F.col("n_pos"))
                   .otherwise(F.lit(0))).cast("bigint").alias("dup_grams"),
         )
-        .withColumn(
-            "dup_frac",
-            F.round(F.col("dup_grams").cast("double")
-                    / F.col("n_grams").cast("double"), 6))
     )
-    # docs shorter than k tokens produce no grams at all: restore them
-    # with zero counts so the output is total over the corpus
-    base = docs.select(key_col)
-    return (
-        base.join(per_doc, key_col, "left")
-        .select(
-            key_col,
-            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
-            F.coalesce("dup_grams", F.lit(0).cast("bigint"))
-            .alias("dup_grams"),
-            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
-        )
-    )
+    return per_doc.select(
+        key_col, "n_grams", "dup_grams",
+        F.when(F.col("n_grams") > 0,
+               F.round(F.col("dup_grams").cast("double")
+                       / F.col("n_grams").cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_frac"))
 
 
 def line_dedup(docs: DataFrame, key_col: str = "doc_id",

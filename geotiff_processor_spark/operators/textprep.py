@@ -6,9 +6,8 @@ between raw ingest and tokenization:
 
 - ``repetition_signals``: Gopher-style repetition quality signals over
   word n-grams (Rae et al. 2021, "Scaling Language Models", App. A —
-  public literature). Two-phase aggregation: explode n-grams, reduce on
-  (doc, md5(gram)) so the shuffle carries a 32-hex digest + counts and
-  never the gram text, then one partial-agg reduce per doc.
+  public literature). Every signal is per-document, so it runs as a
+  shuffle-free in-array sort + run-length walk (round 6).
 - ``chunk_tokens``: fixed-width/strided token windows (training-sample
   prep). Pure map-side 1:N — sequence + explode + slice, no shuffle.
 - ``pii_scrub``: email / digit-run redaction with match counts. Native
@@ -33,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geotiff_processor_spark.operators.dedup import sql_hash60
+from geotiff_processor_spark.operators.par import spread
 
 # dialect-safe regexes: no backslash escapes (Java regex vs RE2 string
 # escaping diverges), character classes only, '-' placed last
@@ -63,42 +63,64 @@ def repetition_signals(docs: DataFrame, key_col: str = "doc_id",
     top_gram_frac  = occurrences of the most frequent gram / total
     dup_char_frac  = chars inside repeated grams / total gram chars
 
-    Plan: explode -> reduce on (key, md5(gram)) -> reduce on key. Both
-    shuffles carry fixed-width rows (digest + 2 ints); partial
-    aggregation halves them map-side. Scale-safe at any corpus size.
+    Every stat is a pure function of ONE document, so no row ever needs
+    to leave its scan task: the gram array is sorted in place and a
+    single run-length ``aggregate`` walk extracts distinct count, max
+    repetition and duplicated chars — zero shuffles, zero digests
+    (round 6; the previous explode -> two digest-keyed exchanges form
+    burned its time in 1-2 AQE-coalesced reduce tasks: 18.5 s at sf1
+    for ~50 k docs). O(grams log grams) per doc, scale-free.
     """
-    grams = docs.select(key_col, F.explode(_grams(text_col, n)).alias("g"))
-    per_gram = (
-        grams.select(key_col, F.md5("g").alias("gh"),
-                     F.length("g").alias("gl"))
-        .groupBy(key_col, "gh")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("gl").alias("gl"))
-    )
+    # run-length walk over the per-doc sorted gram array: one pass.
+    # state: (prev gram, current run, distinct runs, max run,
+    #         duplicated chars, total chars). The token and gram arrays
+    #  are let-bound as lambda variables (transform(array(x), v ->)[0])
+    # so CollapseProject cannot inline the split/sort into every use —
+    # see winnow_fingerprints.
+    walk_of_g = (
+        "aggregate(g,"
+        " struct(cast(null as string) as prev, 0L as run, 0L as nd,"
+        "        0L as mx, 0L as dup, 0L as chars),"
+        " (s, x) -> case"
+        "   when s.prev is null then struct(x as prev, 1L as run,"
+        "     1L as nd, s.mx as mx, s.dup as dup,"
+        "     s.chars + length(x) as chars)"
+        "   when x = s.prev then struct(x as prev, s.run + 1L as run,"
+        "     s.nd as nd, s.mx as mx, s.dup as dup,"
+        "     s.chars + length(x) as chars)"
+        "   else struct(x as prev, 1L as run, s.nd + 1L as nd,"
+        "     greatest(s.mx, s.run) as mx,"
+        "     s.dup + if(s.run > 1L, s.run * length(s.prev), 0L) as dup,"
+        "     s.chars + length(x) as chars) end,"
+        " s -> struct(s.nd as nd, greatest(s.mx, s.run) as mx,"
+        "   s.dup + if(s.run > 1L, s.run * length(s.prev), 0L) as dup,"
+        "   s.chars as chars))")
+    grams_of_t = (
+        f"transform(sequence(0, greatest(size(t) - {n}, 0)),"
+        f" i -> array_join(slice(t, i + 1, {n}), ' '))")
+    stats = F.expr(
+        f"transform(array(split(_txt, ' ')), t ->"
+        f" transform(array(array_sort({grams_of_t})), g ->"
+        f"  struct(size(g) as n, {walk_of_g} as w))[0])[0]")
+    d = spread(docs.select(key_col, F.col(text_col).alias("_txt")))
     return (
-        per_gram.groupBy(key_col)
-        .agg(
-            F.sum("n").alias("n_grams"),
-            F.count(F.lit(1)).alias("n_distinct_grams"),
-            F.max("n").alias("max_gram_rep"),
-            F.sum(F.when(F.col("n") > 1, F.col("n") * F.col("gl"))
-                  .otherwise(F.lit(0))).alias("_dup_chars"),
-            F.sum(F.col("n") * F.col("gl")).alias("_all_chars"),
-        )
+        d.select(key_col, stats.alias("_st"))
+        .select(key_col, F.col("_st.n").alias("_n"),
+                F.col("_st.w").alias("_w"))
         .select(
             key_col,
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.col("n_distinct_grams").cast("bigint")
-            .alias("n_distinct_grams"),
-            F.col("max_gram_rep").cast("bigint").alias("max_gram_rep"),
+            F.col("_n").cast("bigint").alias("n_grams"),
+            F.col("_w.nd").cast("bigint").alias("n_distinct_grams"),
+            F.col("_w.mx").cast("bigint").alias("max_gram_rep"),
             F.round(
-                1 - F.col("n_distinct_grams").cast("double")
-                / F.col("n_grams").cast("double"), 6).alias("dup_gram_frac"),
+                1 - F.col("_w.nd").cast("double")
+                / F.col("_n").cast("double"), 6).alias("dup_gram_frac"),
             F.round(
-                F.col("max_gram_rep").cast("double")
-                / F.col("n_grams").cast("double"), 6).alias("top_gram_frac"),
+                F.col("_w.mx").cast("double")
+                / F.col("_n").cast("double"), 6).alias("top_gram_frac"),
             F.round(
-                F.col("_dup_chars").cast("double")
-                / F.greatest(F.col("_all_chars"), F.lit(1)).cast("double"),
+                F.col("_w.dup").cast("double")
+                / F.greatest(F.col("_w.chars"), F.lit(1)).cast("double"),
                 6).alias("dup_char_frac"),
         )
     )
@@ -322,52 +344,62 @@ def winnow_fingerprints(docs: DataFrame, key_col: str = "doc_id",
     the standard sketch for plagiarism / near-dup detection at corpus
     scale.
 
-    Spark shape: gram md5s are computed map-side from the token array
-    (gram TEXT never shuffles); ONE doc-keyed exchange feeds the
-    per-doc position window; the rightmost-minimum rule runs as a
-    lexicographic window-min over ``md5hex || zero-padded inverted
-    position`` (string min == (hash asc, position desc) — the exact
-    tie-break), identical text in both engines; the final distinct is
-    bounded by the fingerprint density, not the gram count.
+    Spark shape (round 6): the whole selection is a pure function of
+    ONE document, so it runs with ZERO exchanges — gram md5s, the
+    rightmost-minimum rule (string min over ``md5hex || zero-padded
+    inverted position``: string min == (hash asc, position desc), the
+    exact tie-break) and the per-doc distinct all happen inside the
+    token array (``transform`` + ``array_min`` over each w-slice +
+    ``array_distinct``), then one explode emits the fingerprints.
+    The previous form shuffled every gram into a per-doc position
+    window whose reduce side AQE coalesced to 2 tasks (32.4 s at sf1);
+    this one stays in the scan stage at any scale.
 
     Returns (key, fp_pos int, fp_hash string) distinct fingerprints.
     """
-    toks = docs.select(
-        F.col(key_col).alias("key"),
-        F.split(F.col(text_col), " ").alias("t"))
+    # Intermediates (token array, sel-string array) are let-bound as
+    # lambda variables via transform(array(x), v -> ...)[0]: Catalyst's
+    # CollapseProject otherwise INLINES a projected array into every
+    # use site inside downstream HOF lambdas, re-running split() per
+    # gram and the whole sel build per window — O(grams^2) per doc
+    # (observed: one task pinned for 14 min at sf1 before this guard).
+    # sel string per gram position: md5 || inverted zero-padded pos;
     # guard short docs: sequence(0, size-k) DESCENDS when size < k (the
-    # repo's twice-encountered Spark gotcha — see line_dedup), which
-    # would crash slice() or emit junk the oracle never produces
-    grams = toks.select(
+    # repo's twice-encountered Spark gotcha — see line_dedup).
+    sels_of_t = (
+        f"transform(sequence(0, size(t) - {k}),"
+        f" p -> md5(array_join(slice(t, p + 1, {k}), ' '))"
+        f" || lpad(cast(999999999 - p as string), 9, '0'))")
+    # window ending at position p exists for p in [w-1, n); its min is
+    # over sels[p-w+1 .. p] (0-based) == slice(ss, p-w+2, w) (1-based)
+    fps_of_ss = (
+        f"case when size(ss) >= {w} then"
+        f" array_distinct(transform(sequence({w - 1}, size(ss) - 1),"
+        f" p -> array_min(slice(ss, p - {w - 2}, {w}))))"
+        f" else cast(array() as array<string>) end")
+    fps = spread(docs.select(
+        F.col(key_col).alias("key"), F.col(text_col).alias("_txt"))
+    ).select(
         "key",
         F.expr(
-            f"case when size(t) >= {k} then"
-            f" transform(sequence(0, size(t) - {k}),"
-            f" p -> struct(p as pos,"
-            f" md5(array_join(slice(t, p + 1, {k}), ' ')) as gh))"
-            f" else array() end"
-        ).alias("gs")).select("key", F.explode("gs").alias("g"))
-    # inverted position, zero-padded so string order == numeric desc
-    keyed = grams.select(
-        "key", F.col("g.pos").alias("pos"),
-        F.col("g.gh").alias("gh"),
-        F.concat(F.col("g.gh"),
-                 F.lpad(F.lit(999_999_999) - F.col("g.pos"), 9, "0")
-                 .cast("string")).alias("sel"))
-    win = (Window.partitionBy("key").orderBy("pos")
-           .rowsBetween(-(w - 1), 0))
-    picked = (keyed
-              .withColumn("winmin", F.min("sel").over(win))
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("key").orderBy("pos")))
-              .filter(F.col("rn") >= w)  # only full windows select
+            f"transform(array(split(_txt, ' ')), t ->"
+            f" case when size(t) >= {k} then"
+            f"  transform(array({sels_of_t}), ss -> {fps_of_ss})[0]"
+            f" else cast(array() as array<string>) end)[0]"
+        ).alias("fps"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate would infer
+    # size(fps) > 0 AND isnotnull(fps) for a plain explode and push it
+    # below the projection, inlining (= recomputing) the whole array
+    # twice; the outer variant infers nothing, and the cheap null
+    # filter on the GENERATED attribute removes short docs' null row
+    picked = (fps.select("key", F.explode_outer("fps").alias("winmin"))
+              .filter(F.col("winmin").isNotNull())
               .select(
                   "key",
                   (F.lit(999_999_999)
                    - F.substring("winmin", 33, 9).cast("int"))
                   .alias("fp_pos"),
-                  F.substring("winmin", 1, 32).alias("fp_hash"))
-              .distinct())
+                  F.substring("winmin", 1, 32).alias("fp_hash")))
     return picked.withColumnRenamed("key", key_col)
 
 

@@ -47,13 +47,17 @@ def test_flagship_single_shuffle_and_pruned_scan(spark, sf_dir):
     assert "codegen id" in _formatted(job)
 
 
-def test_minhash_single_doc_keyed_shuffle(spark, sf_dir):
-    """MinHash signatures: explode + 16 partial-agg mins must produce
-    exactly one hash shuffle (keyed on the doc), nothing else."""
+def test_minhash_shuffle_free_single_split(spark, sf_dir):
+    """MinHash signatures are a pure per-doc function (round 6): ZERO
+    hash/range exchanges, and the let-bound expression tokenizes and
+    hashes each doc exactly once (no CollapseProject re-inlining)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    plan = _plan(dedup.minhash_signatures(docs))
-    assert len(_exchanges(plan)) == 1, plan[:2000]
+    df = dedup.minhash_signatures(docs)
+    plan = _plan(df)
+    assert len(_exchanges(plan)) == 0, plan[:2000]
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1 and opt.count("md5(") == 1, opt[:2000]
 
 
 def test_tile_pyramid_levels_derive_from_child_level(spark, sf_dir):
@@ -95,18 +99,19 @@ def test_chunk_and_scrub_are_shuffle_free(spark, sf_dir):
         assert "EvalPython" not in plan
 
 
-def test_repetition_signals_digest_keyed_shuffles(spark, sf_dir):
-    """Two-phase repetition agg: both exchanges carry digests/counts —
-    the gram text column must be projected away before any shuffle."""
+def test_repetition_signals_shuffle_free_single_pass(spark, sf_dir):
+    """Repetition stats are per-doc (round 6): ZERO hash/range
+    exchanges — one in-array sort + run-length walk per document,
+    with the token array split exactly once (let-binding holds)."""
     from geotiff_processor_spark.operators import textprep
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    plan = _plan(textprep.repetition_signals(docs))
-    assert len(_exchanges(plan)) == 2, plan[:2000]
-    # the exploded gram column g never crosses an exchange: each
-    # Exchange's input projection carries only digests and ints
-    for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert " g#" not in ex.group(1)
+    df = textprep.repetition_signals(docs)
+    plan = _plan(df)
+    assert len(_exchanges(plan)) == 0, plan[:2000]
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1 and opt.count("aggregate(") == 1, \
+        opt[:2000]
 
 
 def test_stratified_sample_broadcasts_rates(spark, sf_dir):
@@ -223,12 +228,19 @@ def test_substr_dedup_gram_text_never_shuffles(spark, sf_dir):
     from geotiff_processor_spark.operators import dedup as dd
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    plan = _plan(dd.exact_substr_dedup(docs, k=8))
-    assert len(_exchanges(plan)) >= 3, plan[:2000]
+    df = dd.exact_substr_dedup(docs, k=8)
+    plan = _plan(df)
+    # round 6: per-(doc,digest) counts pre-agg in-array map-side, so
+    # only the two irreducible cross-doc exchanges remain (digest-keyed
+    # window count + per-doc rollup)
+    assert len(_exchanges(plan)) == 2, plan[:2000]
     for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert " text#" not in ex.group(1)
+        assert " text#" not in ex.group(1) and " _txt#" not in ex.group(1)
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan  # all-native: no Python in the path
+    # the let-bound expression tokenizes each doc exactly once
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1, opt[:2000]
 
 
 def test_decode_video_is_map_only(spark, sf_dir):
