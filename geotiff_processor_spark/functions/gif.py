@@ -168,6 +168,9 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("no image block")
 
 
+_LZW_BASE_TABLES: dict[int, list[bytes]] = {}
+
+
 def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytes:
     """Standard GIF LZW: variable code width, CLEAR resets the table.
 
@@ -181,10 +184,17 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytes:
     clear, end = 1 << min_code, (1 << min_code) + 1
     out = bytearray()
     table: list[bytes] = []
+    # base tables cached per min_code (round 6): rebuilding 2^n bytes
+    # objects on every CLEAR was ~30% of the per-decode profile; a
+    # list copy of the cached base is a single C-level memcpy
+    base = _LZW_BASE_TABLES.get(min_code)
+    if base is None:
+        base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        _LZW_BASE_TABLES[min_code] = base
 
     def reset():
         nonlocal table, width, tlen, grow_at
-        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        table = base[:]
         width = min_code + 1
         tlen = len(table)
         grow_at = 1 << width

@@ -107,6 +107,10 @@ def _dct_matrix() -> np.ndarray:
 
 
 _C = _dct_matrix()
+_CT = np.ascontiguousarray(_C.T)
+# zigzag scatter indices, built once (round 6: rebuilt per decode)
+_ZZ_R = np.array([r for r, _ in ZIGZAG])
+_ZZ_C = np.array([c for _, c in ZIGZAG])
 
 # YCbCr <-> RGB (JFIF full-range) constants; floor(x+0.5) rounding is
 # the shared rounding rule with the SQL oracle
@@ -1406,19 +1410,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if not progressive and not scan_map:
         raise ValueError("missing SOS")
 
-    zz_r = np.array([r for r, _ in ZIGZAG])
-    zz_c = np.array([c for _, c in ZIGZAG])
     planes = []
     for ci in range(nc):
         gh, gw = grids[ci]
         q = qtables[comps[ci][1]]
         coefs = np.zeros((gh * gw, 8, 8), np.float64)
-        coefs[:, zz_r, zz_c] = \
+        coefs[:, _ZZ_R, _ZZ_C] = \
             np.asarray(store[ci], np.int64) * q[None, :]
         # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
-        spatial = np.einsum("ur,buv,vc->brc", _C, coefs, _C) + 128.0
-        samples = np.clip(np.floor(spatial + 0.5), 0, 255) \
-            .astype(np.uint8)
+        # (broadcast matmul, NOT einsum: einsum's path setup is ~45 us
+        # per call on tiny block stacks vs ~5 us for matmul — it was
+        # the single biggest line of the per-decode profile, round 6)
+        spatial = (_CT @ coefs @ _C) + 128.0
+        samples = np.floor(spatial + 0.5).clip(0, 255).astype(np.uint8)
         plane = samples.reshape(gh, gw, 8, 8) \
             .transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
         hi, vi = samps[ci]

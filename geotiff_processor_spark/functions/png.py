@@ -215,6 +215,12 @@ def _unfilter(raw: bytes, h: int, w: int, nc: int) -> np.ndarray:
     stride = w * nc
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
+    if h * stride <= 4096:
+        # tiny (sub-)image: the per-row numpy calls of the vectorized
+        # path (~6 per row) cost more than the samples themselves —
+        # run the whole unfilter over plain Python lists and convert
+        # once (round 6: ~28 astype calls per 8x8 decode before)
+        return _unfilter_small(raw, h, nc, stride)
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
     rows = arr[:, 1:].astype(np.int32)
@@ -277,3 +283,61 @@ def _unfilter(raw: bytes, h: int, w: int, nc: int) -> np.ndarray:
         out[y] = rec.astype(np.uint8)
         prev = rec.astype(np.int32)
     return out
+
+
+def _unfilter_small(raw: bytes, h: int, nc: int, stride: int) -> np.ndarray:
+    """List-based unfilter for tiny (sub-)images — same per-filter
+    arithmetic as the vectorized path, one numpy conversion total."""
+    if h == 0 or stride == 0:
+        return np.zeros((h, stride), np.uint8)
+    out: list[list[int]] = []
+    prev = [0] * stride
+    head = min(nc, stride)
+    pos = 0
+    for _y in range(h):
+        f = raw[pos]
+        cur = list(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            rec = cur
+            for x in range(head, stride):
+                rec[x] = (rec[x] + rec[x - nc]) & 255
+        elif f == 2:  # Up
+            rec = [(cur[x] + prev[x]) & 255 for x in range(stride)]
+        elif f == 3:  # Average
+            rec = [0] * stride
+            for x in range(head):
+                rec[x] = (cur[x] + (prev[x] >> 1)) & 255
+            for x in range(head, stride):
+                rec[x] = (cur[x] + ((rec[x - nc] + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth (same identities as the array path)
+            rec = [0] * stride
+            for x in range(head):
+                rec[x] = (cur[x] + prev[x]) & 255
+            for x in range(head, stride):
+                a = rec[x - nc]
+                b = prev[x]
+                c = prev[x - nc]
+                pa = b - c
+                if pa < 0:
+                    pa = -pa
+                pb = a - c
+                if pb < 0:
+                    pb = -pb
+                pc = a + b - 2 * c
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (cur[x] + pred) & 255
+        else:
+            raise ValueError(f"unknown scanline filter {f}")
+        out.append(rec)
+        prev = rec
+    return np.array(out, np.uint8)

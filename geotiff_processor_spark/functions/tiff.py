@@ -147,56 +147,75 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# base decoder table (codes 0-255 + CLEAR/EOI placeholders): built once
+# at import, copied per stream — rebuilding 258 bytes objects per CLEAR
+# was a visible slice of the per-decode profile (round 6)
+_LZW_BASE: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+
+
 def lzw_decode(data: bytes, expected: int) -> bytes:
     """Inverse of ``lzw_encode`` — same EarlyChange width schedule on
     the reader side (width bumps when the next code to ASSIGN is
-    2^w - 1)."""
+    2^w - 1).
+
+    Hot-loop form (round 6, mirroring gif._lzw_decode): bits
+    accumulate MSB-first in a bounded int, the table length and the
+    next width-bump threshold live in locals, and there is no
+    per-code closure call — the previous ``read()``-per-code form was
+    ~130 calls/decode and dominated decode_geotiff's worker profile.
+    """
     out = bytearray()
-    acc = n_acc = pos = 0
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = _LZW_BASE[:]
+    tlen = _LZW_FIRST
     width, prev = 9, None
-
-    def read() -> int | None:
-        nonlocal acc, n_acc, pos
-        while n_acc < width:
-            if pos >= len(data):
-                return None
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            n_acc += 8
-        n_acc -= width
-        code = (acc >> n_acc) & ((1 << width) - 1)
-        return code
-
-    while len(out) < expected:
-        code = read()
-        if code is None or code == _LZW_EOI:
+    # the decoder's table is ONE entry behind the encoder's (its
+    # entry for code j completes when code j+1 arrives), so the
+    # EarlyChange bump lands at 2^w - 2 here vs 2^w - 1 on the
+    # writer side — the classic paired off-by-one of TIFF LZW
+    bump = (1 << 9) - 2
+    acc = nbits = 0
+    done = False
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            acc &= (1 << nbits) - 1
+            if code == _LZW_EOI:
+                done = True
+                break
+            if code == _LZW_CLEAR:
+                table = _LZW_BASE[:]
+                tlen = _LZW_FIRST
+                width, prev = 9, None
+                bump = (1 << 9) - 2
+                continue
+            if prev is None:
+                if code >= tlen:
+                    raise ValueError("corrupt LZW stream: first code out"
+                                     " of range")
+                entry = table[code]
+            elif code < tlen:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                tlen += 1
+            elif code == tlen:
+                entry = prev + prev[:1]
+                table.append(entry)
+                tlen += 1
+            else:
+                raise ValueError("corrupt LZW stream: code gap")
+            out += entry
+            prev = entry
+            if tlen == bump and width < 12:
+                width += 1
+                bump = (1 << width) - 2
+            if len(out) >= expected:
+                done = True
+                break
+        if done:
             break
-        if code == _LZW_CLEAR:
-            table = table[:_LZW_FIRST]
-            width, prev = 9, None
-            continue
-        if prev is None:
-            if code >= len(table):
-                raise ValueError("corrupt LZW stream: first code out"
-                                 " of range")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            raise ValueError("corrupt LZW stream: code gap")
-        out += entry
-        prev = entry
-        # the decoder's table is ONE entry behind the encoder's (its
-        # entry for code j completes when code j+1 arrives), so the
-        # EarlyChange bump lands at 2^w - 2 here vs 2^w - 1 on the
-        # writer side — the classic paired off-by-one of TIFF LZW
-        if len(table) == (1 << width) - 2 and width < 12:
-            width += 1
     if len(out) != expected:
         raise ValueError(
             f"corrupt LZW stream: {len(out)} != {expected} bytes")
