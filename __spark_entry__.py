@@ -39,6 +39,7 @@ from geotiff_processor_spark.operators import (
     tiling,
     zonal,
 )
+from geotiff_processor_spark.operators.par import spread
 from geotiff_processor_spark.plans import lineage
 from geotiff_processor_spark.sources import synth
 
@@ -177,15 +178,33 @@ def q_udtf_fields(spark, sf_dir):
 def q_edit_distance(spark, sf_dir):
     """Levenshtein edit distance between each doc and the next doc of
     its source (typo/near-miss metric; the scalar companion to the
-    set-based dedup family). Window partitioned by source — no global
-    sort; both engines run the same classic DP levenshtein."""
+    set-based dedup family). Both engines run the same classic DP
+    levenshtein.
+
+    Round 6 shape: the neighbor assignment (lead over the source
+    window) runs on (doc_id, source) ONLY — the O(len^2) levenshtein
+    work is hash-spread over doc_id with an explicitly sized
+    repartition, because the previous form carried the text through
+    the source-partitioned window and burned the whole DP cost in
+    n_sources (=20) tasks. The explicit partition count keeps AQE's
+    byte-based coalescing from folding a CPU-bound stage into one
+    task; it derives from cores/shuffle conf, never a constant."""
     from pyspark.sql import Window as W
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = W.partitionBy("source").orderBy("doc_id")
-    return docs.select(
-        "doc_id", "source",
-        F.levenshtein("text", F.lead("text", 1).over(w)).alias("dist"))
+    nxt = docs.select("doc_id", "source").withColumn(
+        "_nxt_id", F.lead("doc_id", 1).over(w))
+    a = docs.select("doc_id", "text")
+    b = docs.select(F.col("doc_id").alias("_nxt_id"),
+                    F.col("text").alias("_ntext"))
+    p = max(spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return (
+        nxt.join(a, "doc_id").join(b, "_nxt_id", "left")
+        .repartition(p, "doc_id")
+        .select("doc_id", "source",
+                F.levenshtein("text", "_ntext").alias("dist")))
 
 
 def q_jsonl_source(spark, sf_dir):
@@ -492,7 +511,7 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     cols = T.sql_quality_cols("text", dialect="spark")
     return docs.select(
         "doc_id", *[F.expr(sql).alias(name) for name, sql in cols.items()])
@@ -1156,7 +1175,7 @@ def q_reproject_utm(spark, sf_dir):
 
     from geotiff_processor_spark.functions import reproject as R
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     src = events.select(F.col("event_id").alias("i")).select(
         F.expr(synth.SQL_URL).alias("url"),
         F.expr(f"cast({R.SQL_UTM_EASTING} as bigint)").alias("e_utm"),
@@ -1177,7 +1196,7 @@ def q_reproject_gda94(spark, sf_dir):
 
     from geotiff_processor_spark.functions import reproject as R
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     src = events.select(F.col("event_id").alias("i")).select(
         F.expr(synth.SQL_URL).alias("url"),
         F.expr(f"cast({R.SQL_UTM_EASTING} as bigint)").alias("e_utm"),
@@ -1197,7 +1216,7 @@ def q_reproject_lcc(spark, sf_dir):
 
     from geotiff_processor_spark.functions import reproject as R
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     src = events.select(F.col("event_id").alias("i")).select(
         F.expr(synth.SQL_URL).alias("url"),
         F.expr(f"cast({R.SQL_LCC_X} as bigint)").alias("x_lcc"),
@@ -1217,7 +1236,7 @@ def q_reproject_albers(spark, sf_dir):
 
     from geotiff_processor_spark.functions import reproject as R
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     src = events.select(F.col("event_id").alias("i")).select(
         F.expr(synth.SQL_URL).alias("url"),
         F.expr(f"cast({R.SQL_ALB_X} as bigint)").alias("x_alb"),
@@ -1237,7 +1256,7 @@ def q_reproject_ps(spark, sf_dir):
 
     from geotiff_processor_spark.functions import reproject as R
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     src = events.select(F.col("event_id").alias("i")).select(
         F.expr(synth.SQL_URL).alias("url"),
         F.expr(f"cast({R.SQL_PS_X} as bigint)").alias("x_ps"),
@@ -1256,7 +1275,7 @@ def q_reproject_merc(spark, sf_dir):
 
     from geotiff_processor_spark.functions import reproject as R
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     src = events.select(F.col("event_id").alias("i")).select(
         F.expr(synth.SQL_URL).alias("url"),
         F.expr(f"cast({R.SQL_MERC_X} as bigint)").alias("x_merc"),
@@ -1279,7 +1298,7 @@ def q_chunk_tokens(spark, sf_dir):
     map-side 1:N, no shuffle — chunk_idx/n_tokens/chunk_text per win."""
     from geotiff_processor_spark.operators import textprep
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return textprep.chunk_tokens(docs.select("doc_id", "text"))
 
 
@@ -1302,7 +1321,7 @@ def q_pii_scrub(spark, sf_dir):
     regexp_replace/regexp_count in one codegen projection."""
     from geotiff_processor_spark.operators import textprep
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     planted = docs.select(
         "doc_id", F.expr(_sql_pii_planted("spark")).alias("text"))
     return textprep.pii_scrub(planted)
@@ -1512,7 +1531,7 @@ def q_bm25(spark, sf_dir):
     round-6 float convention."""
     from geotiff_processor_spark.operators import retrieval
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return retrieval.bm25_scores(docs.select("doc_id", "text"),
                                  BM25_TERMS)
 
@@ -1529,7 +1548,7 @@ def q_postings(spark, sf_dir):
     Output determinism: array_sort over (doc_id, tf) structs."""
     from geotiff_processor_spark.operators import retrieval
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return retrieval.build_postings(docs.select("doc_id", "text"))
 
 
@@ -1754,7 +1773,7 @@ def q_datum_shift(spark, sf_dir):
     stage, zero shuffles; the oracle runs the same generated chain."""
     from geotiff_processor_spark.functions import datum as D
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
     src = events.select(F.col("event_id").alias("i")).select(
         F.expr(synth.SQL_URL).alias("url"),
         F.expr(D.SQL_OSGB_LAT).alias("lat_src"),

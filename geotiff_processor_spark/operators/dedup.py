@@ -295,22 +295,26 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame,
 
 def simhash(docs: DataFrame, key_col: str = "doc_id",
             text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
-    """(key, simhash): sign-sum of per-token hash bits, packed to int."""
-    toks = docs.select(
-        key_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    toks = toks.withColumn("h", F.expr(sql_hash60("tok")))
-    bit_sums = [
-        F.sum(F.when((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) == 1,
-                     1).otherwise(-1)).alias(f"s_{j}")
-        for j in range(bits)
-    ]
-    sums = toks.groupBy(key_col).agg(*bit_sums)
-    packed = sums.select(
-        key_col,
-        sum((F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-            for j in range(bits)).cast("bigint").alias("simhash"),
-    )
-    return packed
+    """(key, simhash): sign-sum of per-token hash bits, packed to int.
+
+    Pure per-doc function, so it runs shuffle-free (round 6): one
+    in-array pass accumulates all ``bits`` signed counters, a second
+    tiny pass packs the sign bits — same md5-derived hashes, same
+    sums, same packing as the previous explode + 16-aggregate form.
+    """
+    cnt_of_hs = (
+        f"aggregate(hs, array_repeat(0L, {bits}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        f"  (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1L, -1L)))")
+    pack_of_cnt = (
+        f"aggregate(sequence(0, {bits - 1}), 0L,"
+        f" (s, j) -> s + if(cnt[j] > 0, shiftleft(1L, j), 0L))")
+    sig = F.expr(
+        f"transform(array(transform(split(_txt, ' '),"
+        f" tok -> {sql_hash60('tok')})), hs ->"
+        f" transform(array({cnt_of_hs}), cnt -> {pack_of_cnt})[0])[0]")
+    return spread(docs.select(key_col, F.col(text_col).alias("_txt"))) \
+        .select(key_col, sig.cast("bigint").alias("simhash"))
 
 
 SPAN_WIDTH = 8
@@ -434,33 +438,36 @@ def line_dedup(docs: DataFrame, key_col: str = "doc_id",
     O(spans x tokens) (plan-pinned: tests/test_plans.py single-split
     assertion).
     """
-    pre = docs.select(key_col, F.split(F.col(text_col), " ").alias("_a"))
-    starts = F.sequence(F.lit(0),
-                        F.greatest(F.size("_a") - 1, F.lit(0)),
-                        F.lit(width))
-    span_structs = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / width).cast("bigint").alias("i"),
-            F.concat_ws(" ", F.slice(F.col("_a"), s + F.lit(1),
-                                     F.lit(width))).alias("t"),
-        ))
+    # span structs built from a let-bound token array (see
+    # winnow_fingerprints for the CollapseProject rationale); the
+    # digest is 16-byte binary (unhex: half the shuffle bytes of hex,
+    # bijectively) and the generator is explode_outer so
+    # InferFiltersFromGenerate cannot duplicate the array expression
+    # (the span array is never empty: min one span per doc)
+    spans = F.expr(
+        "transform(array(split(_txt, ' ')), t ->"
+        f" transform(sequence(0, greatest(size(t) - 1, 0), {width}),"
+        f"  s -> struct(cast(s / {width} as bigint) as i,"
+        f"   array_join(slice(t, s + 1, {width}), ' ') as sp)))[0]")
     occ = (
-        pre.select(key_col, F.explode(span_structs).alias("_sp"))
+        spread(docs.select(key_col, F.col(text_col).alias("_txt")))
+        .select(key_col, F.explode_outer(spans).alias("_sp"))
         .select(
             key_col,
             F.col("_sp.i").alias("span_idx"),
-            F.md5("_sp.t").alias("sh"),
-            F.length("_sp.t").cast("bigint").alias("sl"),
+            F.unhex(F.md5("_sp.sp")).alias("sh"),
+            F.length("_sp.sp").cast("bigint").alias("sl"),
         ))
-    stats = occ.groupBy("sh").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min(F.struct(key_col, "span_idx")).alias("first"),
-    )
-    flagged = occ.join(stats, "sh").withColumn(
-        "keep",
-        ((F.col(key_col) == F.col(f"first.{key_col}"))
-         & (F.col("span_idx") == F.col("first.span_idx"))).cast("int"))
+    # corpus-wide first-occurrence as a whole-partition window min
+    # over ONE digest-keyed exchange (round 6: previously a groupBy +
+    # join back, i.e. two extra exchanges of the same rows)
+    wn = Window.partitionBy("sh")
+    flagged = (
+        occ.withColumn("first", F.min(F.struct(key_col, "span_idx")).over(wn))
+        .withColumn(
+            "keep",
+            ((F.col(key_col) == F.col(f"first.{key_col}"))
+             & (F.col("span_idx") == F.col("first.span_idx"))).cast("int")))
     return (
         flagged.groupBy(key_col)
         .agg(

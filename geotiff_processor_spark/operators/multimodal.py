@@ -381,7 +381,7 @@ def image_dhash(df: DataFrame, payload_col: str = "png",
         from ..functions.png import decode_png
         for pdf in batches:
             keys = pdf[key_col].tolist()
-            hashes = []
+            imgs = []
             for payload in pdf[payload_col]:
                 p = bytes(payload)
                 if p[:4] == b"\x89PNG":
@@ -395,13 +395,24 @@ def image_dhash(df: DataFrame, payload_col: str = "png",
                         f"no codec for payload magic {p[:4]!r}")
                 else:
                     img = _fake_decode(p, 8, 8)
-                g = (299 * img[:, :, 0].astype(np.int64)
-                     + 587 * img[:, :, 1].astype(np.int64)
-                     + 114 * img[:, :, 2].astype(np.int64))
-                bits = (g[:, :-1] > g[:, 1:]).ravel()
-                hashes.append(int((bits.astype(np.uint64)
-                                   << np.arange(bits.size,
-                                                dtype=np.uint64)).sum()))
+                imgs.append(img)
+            # luma + bit packing vectorized across the batch, grouped
+            # by shape (round 6: ~7 numpy calls per image before) —
+            # identical integer arithmetic, just batched
+            hashes: list[int | None] = [None] * len(imgs)
+            by_shape: dict[tuple, list[int]] = {}
+            for i, im in enumerate(imgs):
+                by_shape.setdefault(im.shape, []).append(i)
+            for idxs in by_shape.values():
+                arr = np.stack([imgs[i] for i in idxs]).astype(np.int64)
+                g = (299 * arr[..., 0] + 587 * arr[..., 1]
+                     + 114 * arr[..., 2])
+                bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(len(idxs), -1)
+                weights = np.left_shift(
+                    np.uint64(1), np.arange(bits.shape[1], dtype=np.uint64))
+                vals = (bits.astype(np.uint64) * weights).sum(axis=1)
+                for i, v in zip(idxs, vals):
+                    hashes[i] = int(v)
             yield pd.DataFrame({key_col: keys,
                                 "dhash": pd.array(hashes, "int64")})
 

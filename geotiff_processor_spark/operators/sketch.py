@@ -129,24 +129,22 @@ def cms_token_counts(docs: DataFrame, text_col: str = "text",
         h = sql_hash60(f"concat('cms', {d}, ':', tok)")
         return f"({h} % {width})"
 
-    buckets = [F.expr(_bucket_sql(d)).alias(f"b{d}")
-               for d in range(depth)]
-    hashed = toks.select("tok", *buckets)
-    pairs = hashed.select(
-        "tok",
-        F.explode(F.array(*[
-            F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
-            for d in range(depth)])).alias("p"))
-    sketch = (pairs.groupBy("p.d", "p.b")
-              .agg(F.count(F.lit(1)).alias("cnt")))
-
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    # round 6: aggregate to exact per-token counts FIRST (one shuffle
+    # with map-side partial agg), then hash each DISTINCT token once
+    # per row and weight the sketch counters by exact_count — the
+    # counter values are identical (sum of per-token occurrence counts
+    # per bucket == occurrence count per bucket) but the md5s drop
+    # from depth x occurrences to depth x vocabulary
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_count"))
     qbuckets = exact.select(
         "tok", "exact_count",
         F.explode(F.array(*[
             F.struct(F.lit(d).alias("d"),
                      F.expr(_bucket_sql(d)).alias("b"))
             for d in range(depth)])).alias("p"))
+    sketch = (qbuckets.groupBy("p.d", "p.b")
+              .agg(F.sum("exact_count").alias("cnt")))
     est = (qbuckets.join(F.broadcast(sketch),
                          (F.col("p.d") == sketch["d"])
                          & (F.col("p.b") == sketch["b"]))

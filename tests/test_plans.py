@@ -164,18 +164,21 @@ def test_line_dedup_span_text_never_shuffles(spark, sf_dir):
     from geotiff_processor_spark.operators import dedup as dd
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    plan = _plan(dd.line_dedup(docs))
-    assert len(_exchanges(plan)) >= 2, plan[:2000]
+    df = dd.line_dedup(docs)
+    plan = _plan(df)
+    # round 6: ONE digest-keyed window exchange + the per-doc rollup
+    assert len(_exchanges(plan)) == 2, plan[:2000]
     for ex in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert " text#" not in ex.group(1)
+        assert " _txt#" not in ex.group(1)
         assert " _t#" not in ex.group(1)
     assert "EvalPython" not in plan
-    # each document is tokenized ONCE per scan branch: exactly one
-    # split() per FileScan (spans slice the shared token array), so the
-    # map stage is O(tokens) per doc, not O(spans x tokens) — the old
-    # shape re-split the full text inside every exploded span row
-    n_scans = plan.count("FileScan parquet")
-    assert plan.count("split(text") == n_scans, plan[:3000]
+    # each document is tokenized ONCE per scan branch (the let-bound
+    # span build slices one shared token array), so the map stage is
+    # O(tokens) per doc, not O(spans x tokens)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = max(plan.count("FileScan parquet"), 1)
+    assert opt.count("split(") == n_scans, opt[:3000]
 
 
 def test_vocab_topk_uses_topk_not_global_sort(spark, sf_dir):
