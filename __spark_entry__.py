@@ -969,7 +969,7 @@ def q_geoparse_pip(spark, sf_dir):
     text — decoy two-decimal pairs prove the regex rejects noise."""
     from geotiff_processor_spark.operators import geoparse
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     tagged = docs.select(
         "doc_id", F.expr(geoparse.sql_geotagged_text("spark")).alias("text"))
     return geoparse.geoparse_pip(spark, tagged)
@@ -1004,7 +1004,12 @@ def q_tpch_join_nation_revenue(spark, sf_dir):
     cents = "cast(round(l_extendedprice * 100) as bigint)"
     disc = "cast(round(l_discount * 100) as bigint)"
     j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        # shuffled-hash for the one big-big join (guide S3.1): both
+        # sides exchange by orderkey either way, but SMJ additionally
+        # sorts 6M lineitem rows; per-partition hash build on the
+        # smaller orders side is scale-safe (partition count grows
+        # with data) and skips both sorts
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1356,11 +1361,18 @@ def q_dedup_canonical(spark, sf_dir):
     corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    c1 = docs.filter(F.col("doc_id") % 20 == 0) \
-        .withColumn("doc_id", F.col("doc_id") + 100000)
-    c2 = docs.filter(F.col("doc_id") % 40 == 0) \
-        .withColumn("doc_id", F.col("doc_id") + 200000)
-    corpus = docs.unionByName(c1).unionByName(c2)
+    # same corpus as the historical three-branch union (docs + %20
+    # clones at +100000 + %40 clones at +200000), built from ONE scan
+    # via a 1:N explode (round 6: the union form scanned parquet three
+    # times and fed spread() a 6-partition union)
+    corpus = docs.select(
+        F.explode(F.expr(
+            "concat(array(doc_id),"
+            " if(doc_id % 20 = 0, array(doc_id + 100000),"
+            "    cast(array() as array<bigint>)),"
+            " if(doc_id % 40 = 0, array(doc_id + 200000),"
+            "    cast(array() as array<bigint>)))")).alias("doc_id"),
+        "text")
     pairs = dedup.jaccard_verify(
         corpus, dedup.lsh_candidate_pairs(dedup.minhash_signatures(corpus)),
         threshold=0.999).select("key_a", "key_b")

@@ -40,18 +40,26 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5,
                 k: int = 10) -> DataFrame:
     """(query_vec_id, vec_id, rank, cos_sim) — queries are the first
     ``n_queries`` vec_ids, self-matches excluded, ties broken by vec_id."""
+    # norms precomputed ONCE per embedding row / per query row (round
+    # 6: both sides' 64-element norm aggregates ran per PAIR before —
+    # 2/3 of the candidate-scoring work). sqrt(norm2(..)) is the same
+    # expression over the same values, and the final multiply/divide
+    # chain is unchanged, so every cos_sim double is bit-identical.
     q = (
         embeddings.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_vec_id"),
-                F.col("embedding").alias("q_emb"))
+                F.col("embedding").alias("q_emb"),
+                F.sqrt(_norm2("embedding")).alias("_qn"))
     )
-    j = embeddings.crossJoin(F.broadcast(q)) \
+    base = embeddings.select(
+        "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("_en"))
+    j = base.crossJoin(F.broadcast(q)) \
         .filter(F.col("vec_id") != F.col("query_vec_id"))
     j = j.withColumn(
         "cos_sim",
         F.round(
             _dot("embedding", "q_emb")
-            / (F.sqrt(_norm2("embedding")) * F.sqrt(_norm2("q_emb"))), 6),
+            / (F.col("_en") * F.col("_qn")), 6),
     )
     w = Window.partitionBy("query_vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id"))

@@ -273,8 +273,24 @@ def radius_join(geocoded: DataFrame, queries: DataFrame,
 
     band_mdeg = int(radius_m / 110_000.0 * 1000.0) + 1
     dist = F.expr(sql_haversine_cm("lonm", "latm", "qlonm", "qlatm"))
-    pruned = geocoded.join(
-        F.broadcast(queries),
+    # band-cell EQUI-join (round 6): the previous broadcast
+    # nested-loop band join evaluated |dlat| <= band on every
+    # (page, query) pair — O(pages x queries). Each query instead
+    # explodes to its band cell +-1 (floor(lat/band)), so any pair
+    # with |dlat| <= band shares a cell and the hash join touches only
+    # same-cell candidates; the ORIGINAL band predicate and the exact
+    # haversine still filter below, so the output is identical (the
+    # cell join is a conservative superset and each pair appears once
+    # — a query's three cell ids are distinct, a page has one).
+    qb = queries.withColumn(
+        "_qband", F.floor(F.col("qlatm") / F.lit(band_mdeg)))
+    qcells = qb.select(
+        "*", F.explode(F.array(
+            F.col("_qband") - 1, F.col("_qband"),
+            F.col("_qband") + 1)).alias("_band")).drop("_qband")
+    pruned = geocoded.withColumn(
+        "_band", F.floor(F.col("latm") / F.lit(band_mdeg))
+    ).join(F.broadcast(qcells), "_band").filter(
         F.abs(F.col("latm") - F.col("qlatm")) <= F.lit(band_mdeg))
     return (pruned.withColumn("dist_cm", dist)
             .filter(F.col("dist_cm") <= int(round(radius_m * 100)))
