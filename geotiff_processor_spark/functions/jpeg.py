@@ -1283,7 +1283,88 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"truncated or corrupt JPEG: {e}") from e
 
 
+def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Decode many JPEGs with the entropy/marker parse per payload and
+    the dequant+IDCT+upsample+color stage batched across payloads that
+    share (h, w, nc, sampling, quant tables) — round 6: on corpora of
+    small uniform images the per-image numpy dispatch overhead of
+    stage 2 rivals the entropy decode itself. Identical arithmetic to
+    ``decode_jpeg`` (the batched matmul/floor/clip/YCbCr ops apply the
+    same elementwise/per-block operations), so outputs are
+    bit-identical; errors raise exactly like the per-image path."""
+    parsed: list[tuple] = []
+    for d in datas:
+        try:
+            parsed.append(_parse_jpeg(d))
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+    out: list[np.ndarray | None] = [None] * len(parsed)
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(parsed):
+        (store, grids, samps, qtables, comps, h, w, nc, hmax, vmax) = p
+        qkey = tuple(qtables[comps[ci][1]].tobytes() for ci in range(nc))
+        groups.setdefault((h, w, nc, tuple(samps), qkey), []).append(i)
+    for (h, w, nc, samps, _qk), idxs in groups.items():
+        p0 = parsed[idxs[0]]
+        grids, qtables, comps, hmax, vmax = p0[1], p0[3], p0[4], p0[8], p0[9]
+        n = len(idxs)
+        planes = []
+        for ci in range(nc):
+            gh, gw = grids[ci]
+            nb = gh * gw
+            q = qtables[comps[ci][1]]
+            big = np.concatenate(
+                [np.asarray(parsed[i][0][ci], np.int64) for i in idxs])
+            coefs = np.zeros((n * nb, 8, 8), np.float64)
+            coefs[:, _ZZ_R, _ZZ_C] = big * q[None, :]
+            spatial = (_CT @ coefs @ _C) + 128.0
+            samples = np.floor(spatial + 0.5).clip(0, 255).astype(np.uint8)
+            plane = samples.reshape(n, gh, gw, 8, 8) \
+                .transpose(0, 1, 3, 2, 4).reshape(n, gh * 8, gw * 8)
+            hi, vi = samps[ci]
+            if (hi, vi) != (hmax, vmax):
+                plane = np.repeat(np.repeat(plane, vmax // vi, axis=1),
+                                  hmax // hi, axis=2)
+            planes.append(plane[:, :h, :w])
+        if nc == 1:
+            rgb = np.stack([planes[0]] * 3, axis=-1)
+        else:
+            rgb = ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        for j, i in enumerate(idxs):
+            out[i] = rgb[j]
+    return out  # type: ignore[return-value]
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
+    (store, grids, samps, qtables, comps,
+     h, w, nc, hmax, vmax) = _parse_jpeg(data)
+    planes = []
+    for ci in range(nc):
+        gh, gw = grids[ci]
+        q = qtables[comps[ci][1]]
+        coefs = np.zeros((gh * gw, 8, 8), np.float64)
+        coefs[:, _ZZ_R, _ZZ_C] = \
+            np.asarray(store[ci], np.int64) * q[None, :]
+        # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
+        # (broadcast matmul, NOT einsum: einsum's path setup is ~45 us
+        # per call on tiny block stacks vs ~5 us for matmul — it was
+        # the single biggest line of the per-decode profile, round 6)
+        spatial = (_CT @ coefs @ _C) + 128.0
+        samples = np.floor(spatial + 0.5).clip(0, 255).astype(np.uint8)
+        plane = samples.reshape(gh, gw, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        hi, vi = samps[ci]
+        if (hi, vi) != (hmax, vmax):  # upsample by sample replication
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=-1)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _parse_jpeg(data: bytes) -> tuple:
     if bytes(data[:2]) != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -1409,28 +1490,4 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS")
     if not progressive and not scan_map:
         raise ValueError("missing SOS")
-
-    planes = []
-    for ci in range(nc):
-        gh, gw = grids[ci]
-        q = qtables[comps[ci][1]]
-        coefs = np.zeros((gh * gw, 8, 8), np.float64)
-        coefs[:, _ZZ_R, _ZZ_C] = \
-            np.asarray(store[ci], np.int64) * q[None, :]
-        # vectorized IDCT over all blocks: spatial = C.T @ coef @ C
-        # (broadcast matmul, NOT einsum: einsum's path setup is ~45 us
-        # per call on tiny block stacks vs ~5 us for matmul — it was
-        # the single biggest line of the per-decode profile, round 6)
-        spatial = (_CT @ coefs @ _C) + 128.0
-        samples = np.floor(spatial + 0.5).clip(0, 255).astype(np.uint8)
-        plane = samples.reshape(gh, gw, 8, 8) \
-            .transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
-        hi, vi = samps[ci]
-        if (hi, vi) != (hmax, vmax):  # upsample by sample replication
-            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
-                              hmax // hi, axis=1)
-        planes.append(plane[:h, :w])
-    if nc == 1:
-        g = planes[0]
-        return np.stack([g, g, g], axis=-1)
-    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    return (store, grids, samps, qtables, comps, h, w, nc, hmax, vmax)

@@ -102,41 +102,66 @@ def decode_images(df: DataFrame, payload_col: str = "html",
 
     def decode(batches):
         from ..functions.gif import decode_gif
-        from ..functions.jpeg import decode_jpeg
+        from ..functions.jpeg import decode_jpeg_batch
         from ..functions.png import decode_png
         from ..functions.tiff import decode_tiff
         for pdf in batches:
             keys = pdf[key_col].tolist()
-            out = {key_col: keys, "height": [], "width": [],
-                   "mean_r": [], "mean_g": [], "mean_b": []}
-            for payload in pdf[payload_col]:
-                p = bytes(payload)
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            imgs: list = [None] * len(payloads)
+            jpeg_idx: list[int] = []
+            for i, p in enumerate(payloads):
                 if p[:4] == b"\x89PNG":
-                    img = decode_png(p)[:, :, :3]
+                    imgs[i] = decode_png(p)[:, :, :3]
                 elif p[:3] == b"\xff\xd8\xff":
-                    img = decode_jpeg(p)
+                    jpeg_idx.append(i)  # stage-2-batched below
                 elif p[:4] == b"GIF8":
-                    img = decode_gif(p)
+                    imgs[i] = decode_gif(p)
                 elif p[:4] in (b"II*\0", b"MM\0*"):
                     arr = decode_tiff(p)[0]
                     if arr.ndim != 3:          # float DEM -> gray 3-band
                         arr = np.repeat(
                             arr.astype(np.float64)[:, :, None], 3, axis=2)
-                    img = arr
+                    imgs[i] = arr
                 elif strict:
                     raise ValueError(
                         f"no codec for payload magic {p[:4]!r}: only the"
                         " built-in PNG, JPEG, GIF and (Geo)TIFF codecs"
                         " are available in this container (ffmpeg slot)")
                 else:
-                    img = _fake_decode(p, h, w)
-                means = img.reshape(-1, 3).mean(axis=0)
-                out["height"].append(img.shape[0])
-                out["width"].append(img.shape[1])
-                out["mean_r"].append(float(means[0]))
-                out["mean_g"].append(float(means[1]))
-                out["mean_b"].append(float(means[2]))
-            yield pd.DataFrame(out)
+                    imgs[i] = _fake_decode(p, h, w)
+            if jpeg_idx:
+                decoded = decode_jpeg_batch([payloads[i] for i in jpeg_idx])
+                for i, img in zip(jpeg_idx, decoded):
+                    imgs[i] = img
+            # per-channel means batched across same-shape uint8 images
+            # (integer pixel sums are exact in float64, so the batched
+            # reduction is bit-identical to per-image means); float
+            # images (DEM gray) keep the per-image path for exact fp
+            # reduction-order equivalence
+            n = len(imgs)
+            hh = [0] * n
+            ww = [0] * n
+            mr = [0.0] * n
+            mg = [0.0] * n
+            mb = [0.0] * n
+            by_shape: dict[tuple, list[int]] = {}
+            for i, im in enumerate(imgs):
+                hh[i], ww[i] = im.shape[0], im.shape[1]
+                if im.dtype == np.uint8:
+                    by_shape.setdefault(im.shape, []).append(i)
+                else:
+                    m = im.reshape(-1, 3).mean(axis=0)
+                    mr[i], mg[i], mb[i] = (float(m[0]), float(m[1]),
+                                           float(m[2]))
+            for idxs in by_shape.values():
+                arr = np.stack([imgs[i] for i in idxs])
+                m = arr.reshape(len(idxs), -1, 3).mean(axis=1)
+                for j, i in enumerate(idxs):
+                    mr[i], mg[i], mb[i] = (float(m[j, 0]), float(m[j, 1]),
+                                           float(m[j, 2]))
+            yield pd.DataFrame({key_col: keys, "height": hh, "width": ww,
+                                "mean_r": mr, "mean_g": mg, "mean_b": mb})
 
     return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
 

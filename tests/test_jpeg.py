@@ -315,3 +315,30 @@ def test_progressive_with_restart_intervals():
     for ri in (1, 4):
         assert (J.decode_jpeg(J.encode_jpeg_progressive(
             g, restart_interval=ri)) == gb).all(), ri
+
+
+def test_decode_jpeg_batch_bit_identical_mixed_corpus():
+    """decode_jpeg_batch (stage-2 batched across same-geometry
+    payloads, round 6) must reproduce per-image decode_jpeg
+    bit-for-bit on a mixed baseline/progressive, 444/420, multi-size corpus — groups with different geometry or quant
+    tables may never cross-contaminate."""
+    rng = np.random.default_rng(7)
+    blobs = []
+    for size in (16, 32):
+        for sub in ("444", "420"):
+            planes = [rng.integers(0, 256, (size, size), np.uint8)
+                      for _ in range(3)]
+            if sub == "420":
+                planes = [planes[0],
+                          planes[1][:size // 2, :size // 2],
+                          planes[2][:size // 2, :size // 2]]
+            blobs.append(J.encode_jpeg_planes(planes, subsample=sub))
+            blobs.append(J.encode_jpeg_progressive(planes, subsample=sub))
+    # grayscale single-component member too
+    blobs.append(J.encode_jpeg_planes(
+        [rng.integers(0, 256, (16, 16), np.uint8)]))
+    batch = J.decode_jpeg_batch(blobs)
+    for blob, got in zip(blobs, batch):
+        ref = J.decode_jpeg(blob)
+        assert got.dtype == ref.dtype and got.shape == ref.shape
+        assert np.array_equal(got, ref)
