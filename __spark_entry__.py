@@ -1291,7 +1291,7 @@ def q_reproject_merc(spark, sf_dir):
 
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style n-gram repetition quality signals per document —
-    two-phase aggregation shuffling digests, never gram text."""
+    per-doc in-array sort + run-length walk, zero shuffles (round 6)."""
     from geotiff_processor_spark.operators import textprep
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1466,7 +1466,8 @@ def q_line_dedup(spark, sf_dir):
     """Corpus-level line dedup (the C4 drop-duplicated-lines rule,
     generalized to 8-token spans — this corpus has no newlines):
     keep-first policy, per-doc kept/dropped stats. Span text never
-    shuffles; three digest/key-keyed partial-agg shuffles."""
+    shuffles; ONE binary-digest window exchange + the per-doc rollup
+    (round 6)."""
     from geotiff_processor_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1478,8 +1479,10 @@ def q_substr_dedup(spark, sf_dir):
     array ExactSubstr rule, re-grounded as rolling overlapping k-gram
     digests — every cross-doc repeat of >= k tokens is a run of
     duplicated k-grams): per-doc duplicated-position counts/fraction.
-    Gram text never shuffles; three digest/doc-keyed partial-agg
-    shuffles, no suffix array, nothing on the driver."""
+    Gram text never shuffles; per-doc digest counts pre-aggregate
+    in-array map-side, leaving the two irreducible cross-doc shuffles
+    (digest window count + per-doc rollup), no suffix array, nothing
+    on the driver (round 6)."""
     from geotiff_processor_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1585,11 +1588,11 @@ def q_winnow(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. 2003, the
     MOSS algorithm): rightmost-minimum selection over every w-window
     of k-gram md5s, giving guaranteed-coverage sketches at ~2/(w+1)
-    density. Gram text never shuffles (md5 map-side from the token
-    array); ONE doc-keyed exchange feeds the position window; the
-    tie-break runs as a lexicographic window-min identical in both
-    engines. Also pinned against an independent brute-force
-    implementation in tests."""
+    density. Round 6: the whole selection is per-document, so it runs
+    shuffle-free inside the token array (let-bound HOFs; the
+    lexicographic min over md5hex||inverted-pos encodes the exact
+    rightmost-min tie-break identically in both engines). Also pinned
+    against an independent brute-force implementation in tests."""
     from geotiff_processor_spark.operators import textprep
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -73,8 +73,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n: int,
                          F.lit(1.0 / n).alias("r"))
     base = (1.0 - d) / n
     for _ in range(iters):
+        # shuffled-hash joins (guide S3.1): the rank vector is O(nodes)
+        # so broadcasting is not scale-safe, but hash-building the
+        # per-partition rank/contrib side skips the per-round SMJ sorts
         contrib = (
-            ed.join(ranks, ed.src == ranks.id)
+            ed.join(ranks.hint("shuffle_hash"), ed.src == ranks.id)
             .select(F.col("dst").alias("id"),
                     (F.col("r") / F.col("od")).alias("c"))
             .groupBy("id").agg(F.sum("c").alias("s"))
@@ -86,7 +89,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n: int,
         # barriers (~0.5 s each at bench scale) and bought nothing
         ranks = (
             nodes.select(F.col(id_col).alias("id"))
-            .join(contrib, "id", "left")
+            .join(contrib.hint("shuffle_hash"), "id", "left")
             .select("id",
                     (F.lit(base)
                      + F.lit(d) * F.coalesce("s", F.lit(0.0))).alias("r"))
