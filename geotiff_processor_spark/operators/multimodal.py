@@ -256,17 +256,27 @@ def decode_audio(df: DataFrame, payload_col: str = "wav",
     def decode(batches):
         from ..functions.wav import decode_wav
         for pdf in batches:
-            out = {key_col: pdf[key_col].tolist(), "n_frames": [],
-                   "sample_rate": [], "n_channels": [],
-                   "mean_abs": [], "peak": []}
-            for payload in pdf[payload_col]:
-                rate, arr = decode_wav(bytes(payload))
-                a = np.abs(arr.astype(np.int64))
-                out["n_frames"].append(arr.shape[0])
-                out["sample_rate"].append(rate)
-                out["n_channels"].append(arr.shape[1])
-                out["mean_abs"].append(float(a.mean()))
-                out["peak"].append(int(a.max()))
+            decoded = [decode_wav(bytes(p)) for p in pdf[payload_col]]
+            n = len(decoded)
+            out = {key_col: pdf[key_col].tolist(),
+                   "n_frames": [a.shape[0] for _, a in decoded],
+                   "sample_rate": [r for r, _ in decoded],
+                   "n_channels": [a.shape[1] for _, a in decoded],
+                   "mean_abs": [0.0] * n, "peak": [0] * n}
+            # |sample| mean/peak batched across same-shape payloads
+            # (round 6): integer sums are exact in float64 at any
+            # reduction order, so values are identical to per-payload
+            by_shape: dict[tuple, list[int]] = {}
+            for i, (_r, a) in enumerate(decoded):
+                by_shape.setdefault(a.shape, []).append(i)
+            for idxs in by_shape.values():
+                aa = np.abs(np.stack(
+                    [decoded[i][1] for i in idxs]).astype(np.int64))
+                means = aa.reshape(len(idxs), -1).mean(axis=1)
+                peaks = aa.reshape(len(idxs), -1).max(axis=1)
+                for j, i in enumerate(idxs):
+                    out["mean_abs"][i] = float(means[j])
+                    out["peak"][i] = int(peaks[j])
             yield pd.DataFrame(out)
 
     return df.select(key_col, payload_col).mapInPandas(decode, schema=schema)
@@ -296,13 +306,28 @@ def decode_video(df: DataFrame, payload_col: str = "y4m",
     def decode(batches):
         from ..functions.y4m import decode_y4m
         for pdf in batches:
+            decoded = [(key, decode_y4m(bytes(payload)))
+                       for key, payload in zip(pdf[key_col],
+                                               pdf[payload_col])]
+            # per-frame plane means batched across same-shape payloads
+            # (round 6): uint8 sums are exact in float64 at any
+            # reduction order, so values match the per-payload means
+            all_means: list = [None] * len(decoded)
+            by_shape: dict[tuple, list[int]] = {}
+            for i, (_k, (_w, _h, _fps, frames)) in enumerate(decoded):
+                by_shape.setdefault(frames.shape, []).append(i)
+            for idxs in by_shape.values():
+                stack = np.stack([decoded[i][1][3] for i in idxs]) \
+                    .astype(np.float64)
+                ms = stack.mean(axis=(2, 3))
+                for j, i in enumerate(idxs):
+                    all_means[i] = ms[j]
             rows = {k: [] for k in (key_col, "frame_idx", "n_frames",
                                     "width", "height", "fps_num",
                                     "mean_y", "mean_u", "mean_v")}
-            for key, payload in zip(pdf[key_col], pdf[payload_col]):
-                w, h, fps, frames = decode_y4m(bytes(payload))
+            for i, (key, (w, h, fps, frames)) in enumerate(decoded):
                 mono = frames.ndim == 3  # Cmono: luma only, no chroma
-                means = frames.astype(np.float64).mean(axis=(1, 2))
+                means = all_means[i]
                 for fi in range(0, frames.shape[0], every):
                     rows[key_col].append(key)
                     rows["frame_idx"].append(fi)
