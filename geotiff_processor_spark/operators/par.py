@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition ``df`` to ``factor`` x defaultParallelism tasks iff
-    its current plan has fewer partitions — a no-op at scale."""
+    its current plan has fewer partitions — a no-op at scale.
+
+    (A compressed-bytes floor was tried and REVERTED in round 6:
+    parquet compression makes on-disk size a poor proxy for per-row
+    CPU — the sf1 documents table is ~7 MB on disk yet carries tens of
+    seconds of single-task digest work, and the sub-second jitter the
+    floor targeted at tiny scale turned out to be window noise.)"""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
